@@ -1,0 +1,86 @@
+"""MinHash signatures + LSH banding (numpy-vectorized, deterministic).
+
+Used for (a) near-duplicate detection over documents and (b) blocking in
+entity linking. The banding trick: two sets with Jaccard ~s collide in at
+least one band with probability 1-(1-s^r)^b. All hashing is explicit
+(xxhash-free, splitmix64-style) so signatures are reproducible across
+executors and sessions — the same determinism discipline as mehari's
+byte-ordered key encodings (/root/reference/mehari/src/db/keys.rs:144-163).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (public-domain splitmix64 constants).
+
+    uint64 wrap-around is intentional; numpy overflow warnings suppressed.
+    """
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        return x ^ (x >> np.uint64(31))
+
+
+def hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hash per token (FNV-1a over utf-8, then mixed)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    fnv_offset, fnv_prime, mask = 0xCBF29CE484222325, 0x100000001B3, (1 << 64) - 1
+    for i, tok in enumerate(tokens):
+        h = fnv_offset
+        for b in tok.encode("utf-8"):
+            h = ((h ^ b) * fnv_prime) & mask
+        out[i] = h
+    return _splitmix64(out)
+
+
+def perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) parameters for the universal-hash permutations, seeded."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    token_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """num_perm minhash values for one set of token hashes."""
+    if token_hashes.size == 0:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (num_perm, n_tokens) universal hashes mod Mersenne prime, min over tokens;
+    # uint64 wrap in the product is fine — still a deterministic mixing family
+    with np.errstate(over="ignore"):
+        h = (
+            a[:, None] * (token_hashes[None, :] & _MERSENNE) + b[:, None]
+        ) % _MERSENNE
+    return h.min(axis=1)
+
+
+def band_keys(signature: np.ndarray, bands: int) -> list[int]:
+    """One stable 63-bit bucket key per band (band index salted in)."""
+    rows = signature.shape[0] // bands
+    keys = []
+    for bi in range(bands):
+        chunk = signature[bi * rows : (bi + 1) * rows]
+        acc = np.uint64(bi + 1)
+        for v in chunk:
+            acc = _splitmix64(acc ^ np.uint64(v))
+        keys.append(int(acc & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    return keys
+
+
+def shingles(text: str, n: int = 3) -> list[str]:
+    """Character n-gram shingles."""
+    if len(text) < n:
+        return [text] if text else []
+    return [text[i : i + n] for i in range(len(text) - n + 1)]

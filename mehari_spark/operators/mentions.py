@@ -1,0 +1,139 @@
+"""Mention detection: Aho-Corasick dictionary scan inside ``mapInPandas``.
+
+This is the engine's hot path and the direct analog of mehari's
+variant-x-transcript interval join (provider.rs:795-843) as executed through
+the Arrow batch API (mehari-python/src/lib.rs:297-380): the dictionary is a
+broadcast variable, compiled into an automaton once per executor (module
+cache keyed by broadcast id — the thread-local-reader idiom of
+db/mod.rs:357-375), and each Arrow batch of turns is scanned in one Python
+call. No per-row Python UDFs; no shuffle — mention detection is a narrow
+transformation over the transcripts scan.
+
+Scale notes (100 TB): the only data movement is the parquet scan itself;
+column pruning keeps the scan to (conv_id, turn_idx, text); the output is
+narrow (ids + positions) so the expensive `text` column is dropped before
+any wide stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dictionary import DictPattern
+from ..kernels.ahocorasick import TokenAhoCorasick, token_char_offsets
+from ..schemas import MENTIONS_DDL
+
+# per-executor automaton cache (built once per dictionary version, reused
+# across tasks — the thread-local-reader idiom of db/mod.rs:357-375)
+_AC_CACHE: dict[str, TokenAhoCorasick] = {}
+
+
+def _automaton(bc_id: str, patterns: list[DictPattern]) -> TokenAhoCorasick:
+    ac = _AC_CACHE.get(bc_id)
+    if ac is None:
+        ac = TokenAhoCorasick([(p.tokens, p) for p in patterns])
+        _AC_CACHE[bc_id] = ac
+    return ac
+
+
+def detect_mentions(
+    transcripts: DataFrame,
+    patterns: list[DictPattern],
+    text_col: str = "text",
+) -> DataFrame:
+    """transcripts -> mentions (MENTIONS_SCHEMA rows), one per dictionary hit."""
+    import uuid
+
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast(patterns)
+    bc_id = uuid.uuid4().hex  # dictionary-version token for the executor cache
+
+    def scan_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = _automaton(bc_id, bc.value)
+        for pdf in batches:
+            conv_ids: list[str] = []
+            turn_idxs: list[int] = []
+            kinds: list[str] = []
+            ref_ids: list[int] = []
+            canon_ids: list[int] = []
+            ranks: list[int] = []
+            poss: list[int] = []
+            tok_lens: list[int] = []
+            char_starts: list[int] = []
+            char_ends: list[int] = []
+            texts = pdf[text_col].tolist()
+            convs = pdf["conv_id"].tolist()
+            turns = pdf["turn_idx"].tolist()
+            for conv, turn, txt in zip(convs, turns, texts):
+                if not txt:
+                    continue
+                toks = txt.split(" ")
+                matches = ac.scan(toks)
+                if not matches:
+                    continue
+                offsets = token_char_offsets(txt, toks)
+                for start, length, pat in matches:
+                    conv_ids.append(conv)
+                    turn_idxs.append(turn)
+                    kinds.append(pat.kind)
+                    ref_ids.append(pat.ref_id)
+                    canon_ids.append(pat.canon_id)
+                    ranks.append(pat.rank)
+                    poss.append(start)
+                    tok_lens.append(length)
+                    char_starts.append(offsets[start])
+                    end_tok = start + length - 1
+                    char_ends.append(offsets[end_tok] + len(toks[end_tok]))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(conv_ids, dtype="object"),
+                    "turn_idx": pd.Series(turn_idxs, dtype="int32"),
+                    "kind": pd.Series(kinds, dtype="object"),
+                    "ref_id": pd.Series(ref_ids, dtype="int64"),
+                    "canon_id": pd.Series(canon_ids, dtype="int64"),
+                    "rank": pd.Series(ranks, dtype="int32"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "tok_len": pd.Series(tok_lens, dtype="int32"),
+                    "char_start": pd.Series(char_starts, dtype="int32"),
+                    "char_end": pd.Series(char_ends, dtype="int32"),
+                }
+            )
+
+    # prune to the three needed columns BEFORE the UDF so the parquet scan
+    # never materializes unused columns (ReadSchema stays narrow)
+    narrow = transcripts.select("conv_id", "turn_idx", text_col)
+    return narrow.mapInPandas(scan_batches, schema=MENTIONS_DDL)
+
+
+def resolve_overlaps(mentions: DataFrame) -> DataFrame:
+    """Keep the longest-then-leftmost mention among overlapping spans of the
+    same kind (mehari's worst-consequence/longest-transcript picking analog,
+    logic.rs:452-513). Single-token dictionaries are unaffected."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id", "turn_idx", "kind", "pos").orderBy(
+        F.desc("tok_len"), F.asc("ref_id")
+    )
+    # mentions starting at the same token: keep longest; then drop mentions
+    # fully contained in an earlier, longer mention
+    m = (
+        mentions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("conv_id", "turn_idx", "kind").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.col("tok_len")).over(
+        w2.rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        m.withColumn("prev_end", prev_end)
+        .filter(
+            F.col("prev_end").isNull()
+            | (F.col("pos") + F.col("tok_len") > F.col("prev_end"))
+        )
+        .drop("prev_end")
+    )

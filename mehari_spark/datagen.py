@@ -1,0 +1,169 @@
+"""Deterministic synthetic transcripts + golden triples (FIXTURES.md §1/§4).
+
+Mehari's correctness anchor is golden outputs from an external reference
+implementation (clinvar.excerpt.vep.tsv etc., SURVEY.md §5). Ours: a seeded
+generator plants dictionary mentions into turn text, and an independent
+pure-Python reference extractor (``reference_triples``) computes the golden
+(subj, pred, obj) set. The Spark engine must reproduce it at P/R >= 0.95
+(it reproduces it exactly — the margin is headroom for future fuzzier rules).
+
+Everything is a pure function of (seed, n_convs, ...): no wall clock, no
+global state.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from .dictionary import DictPattern
+
+# test dictionary: includes a multi-token alias and an ambiguous surface
+TEST_ENTITIES: list[tuple[str, int]] = [
+    ("alice", 1),
+    ("bob", 2),
+    ("carol", 3),
+    ("apache spark", 4),
+    ("spark", 4),  # alias of the same entity (multi-token + short form)
+    ("kafka", 5),
+    ("flink", 6),
+]
+TEST_PREDICATES: list[tuple[str, int, int, int]] = [
+    # (surface, pred_id, rank, canon_id)
+    ("uses", 201, 1, 201),
+    ("employs", 202, 2, 201),  # umbrella rewrite -> uses
+    ("asks", 203, 3, 203),
+    ("builds", 204, 4, 204),
+]
+DISTRACTORS = ["hello", "please", "thanks", "today", "report", "x1", "x2", "zz"]
+
+
+def fixture_patterns() -> list[DictPattern]:
+    pats = [
+        DictPattern(tuple(a.split(" ")), "E", eid, eid, 0) for a, eid in TEST_ENTITIES
+    ]
+    pats += [
+        DictPattern((s,), "P", pid, canon, rank)
+        for s, pid, rank, canon in TEST_PREDICATES
+    ]
+    return pats
+
+
+@dataclass(frozen=True)
+class Turn:
+    conv_id: str
+    turn_idx: int
+    role: str
+    text: str
+    tool: str | None
+    ts: datetime
+
+
+def synth_transcripts(
+    seed: int = 42,
+    n_convs: int = 20,
+    turns_per_conv: int = 10,
+    hot_convs: int = 1,
+    hot_factor: int = 10,
+) -> list[Turn]:
+    """Plant E-P-E patterns among distractor tokens. ``hot_convs`` get
+    hot_factor x turns (the skew fixture)."""
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    turns: list[Turn] = []
+    ent_surfaces = [a for a, _ in TEST_ENTITIES]
+    pred_surfaces = [s for s, _p, _r, _c in TEST_PREDICATES]
+    for ci in range(n_convs):
+        conv_id = f"tconv_{ci:05d}"
+        n_turns = turns_per_conv * (hot_factor if ci < hot_convs else 1)
+        for ti in range(n_turns):
+            words: list[str] = []
+            # 1-3 planted patterns per turn, separated by distractors
+            for _ in range(rng.randint(1, 3)):
+                words += rng.sample(DISTRACTORS, k=rng.randint(0, 2))
+                words += ent_surfaces[rng.randrange(len(ent_surfaces))].split(" ")
+                words.append(pred_surfaces[rng.randrange(len(pred_surfaces))])
+                words += ent_surfaces[rng.randrange(len(ent_surfaces))].split(" ")
+            words += rng.sample(DISTRACTORS, k=rng.randint(0, 2))
+            turns.append(
+                Turn(
+                    conv_id=conv_id,
+                    turn_idx=ti,
+                    role=("user", "assistant", "tool")[ti % 3],
+                    text=" ".join(words),
+                    tool="search" if ti % 3 == 2 else None,
+                    ts=base + timedelta(hours=ci, minutes=ti),
+                )
+            )
+    return turns
+
+
+# --- independent pure-Python reference extractor (the golden oracle) -------
+
+
+def _scan_tokens(tokens: list[str], patterns: list[DictPattern]):
+    """Naive O(n*m) dictionary scan — deliberately independent of the
+    Aho-Corasick kernel under test."""
+    hits = []
+    for p in patterns:
+        L = len(p.tokens)
+        for i in range(len(tokens) - L + 1):
+            if tuple(tokens[i : i + L]) == p.tokens:
+                hits.append((i, L, p))
+    return hits
+
+
+def reference_triples(
+    turns: list[Turn], patterns: list[DictPattern]
+) -> set[tuple[str, int, int, int, int]]:
+    """Golden (conv_id, turn_idx, subj, pred, obj) per the reference rule:
+    nearest entity before/after each predicate, longest-mention overlap
+    resolution, best (min rank) predicate per (subj, obj) group."""
+    golden: set[tuple[str, int, int, int, int]] = set()
+    for t in turns:
+        toks = t.text.split(" ") if t.text else []
+        hits = _scan_tokens(toks, patterns)
+        ents = sorted(
+            [(i, L, p) for (i, L, p) in hits if p.kind == "E"],
+            key=lambda x: (x[0], -x[1], x[2].ref_id),
+        )
+        # overlap resolution: longest-then-leftmost (resolve_overlaps analog)
+        kept_ents = []
+        prev_end = -1
+        best_at: dict[int, tuple[int, int, DictPattern]] = {}
+        for i, L, p in ents:
+            if i not in best_at:  # longest first due to sort key
+                best_at[i] = (i, L, p)
+        for i in sorted(best_at):
+            s, L, p = best_at[i]
+            if s + L > prev_end:
+                kept_ents.append((s, L, p))
+                prev_end = max(prev_end, s + L)
+        preds = [(i, p) for (i, L, p) in hits if p.kind == "P"]
+        cand = []
+        for pi, pp in preds:
+            before = [e for e in kept_ents if e[0] < pi]
+            after = [e for e in kept_ents if e[0] > pi]
+            if before and after:
+                subj = max(before, key=lambda e: e[0])[2].ref_id
+                obj = min(after, key=lambda e: e[0])[2].ref_id
+                cand.append((subj, obj, pp.rank, pp.canon_id, pi))
+        best: dict[tuple[int, int], tuple[int, int, int]] = {}
+        for subj, obj, rank, canon, pi in cand:
+            key = (subj, obj)
+            cur = best.get(key)
+            if cur is None or (rank, canon, pi) < cur:
+                best[key] = (rank, canon, pi)
+        for (subj, obj), (_r, canon, _pi) in best.items():
+            golden.add((t.conv_id, t.turn_idx, subj, canon, obj))
+    return golden
+
+
+def turns_df(spark, turns: list[Turn]):
+    from .schemas import TRANSCRIPTS_SCHEMA
+
+    return spark.createDataFrame(
+        [(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts) for t in turns],
+        TRANSCRIPTS_SCHEMA,
+    )

@@ -43,83 +43,97 @@ def coref_edges(triples: DataFrame) -> DataFrame:
 
 
 def coref_clusters(triples: DataFrame) -> DataFrame:
-    """-> (conv_id, entity_id, cluster_id) for every entity in a triple."""
+    """-> (conv_id, entity_id, cluster_id) for every entity in a triple.
+
+    One shuffle (groupBy conv_id + collect_list of the tiny per-conv edge
+    list), then union-find over THOUSANDS of conversations per Arrow batch
+    via mapInPandas — per-group applyInPandas pays one Arrow round trip per
+    conversation, which at 10^8 conversations is pure overhead; batching
+    amortizes it to one per ~10k convs."""
     edges = coref_edges(triples)
+    agg = edges.groupBy("conv_id").agg(
+        F.collect_list(F.struct("src", "dst")).alias("es")
+    )
 
-    def cc_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        uf = UnionFind()
-        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-            uf.union(int(a), int(b))
-        comp = uf.components()
-        conv = pdf["conv_id"].iloc[0]
-        return pd.DataFrame(
-            {
-                "conv_id": [conv] * len(comp),
-                "entity_id": pd.Series(list(comp.keys()), dtype="int64"),
-                "cluster_id": pd.Series(
-                    [comp[k] for k in comp.keys()], dtype="int64"
-                ),
-            }
-        )
+    def cc_batches(it):
+        for pdf in it:
+            convs: list[str] = []
+            ents: list[int] = []
+            clusters: list[int] = []
+            for conv, es in zip(pdf["conv_id"].tolist(), pdf["es"].tolist()):
+                uf = UnionFind()
+                for e in es:
+                    uf.union(int(e["src"]), int(e["dst"]))
+                comp = uf.components()
+                for k, v in comp.items():
+                    convs.append(conv)
+                    ents.append(k)
+                    clusters.append(v)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(convs, dtype="object"),
+                    "entity_id": pd.Series(ents, dtype="int64"),
+                    "cluster_id": pd.Series(clusters, dtype="int64"),
+                }
+            )
 
-    return edges.groupBy("conv_id").applyInPandas(
-        cc_group, schema="conv_id string, entity_id long, cluster_id long"
+    return agg.mapInPandas(
+        cc_batches, schema="conv_id string, entity_id long, cluster_id long"
     )
 
 
 def connected_components_global(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
     """Generic CC over (src, dst) long ids -> (node, component).
 
-    Alternating small-star/large-star (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14), expressed as DataFrame joins/aggs so
-    Catalyst/AQE pick the physical plan. Label = min node id in component.
+    Min-label propagation with pointer jumping: each round every node takes
+    min(own label, neighbors' labels), then follows label->label one hop
+    (path halving). Convergence in O(log n) rounds — the Kiveris et al.
+    (SoCC'14) large-star/small-star bound — each round two shuffles on node
+    id, expressed as joins/aggs so Catalyst/AQE handle skew. Iteration state
+    is localCheckpoint'ed to cut the growing lineage.
     """
-    spark = edges.sparkSession
-    # initial labels: every node points to min(neighbor, self)
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    sym = sym.distinct().localCheckpoint(eager=True)
     labels = (
-        sym.groupBy("a")
-        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
-        .select(F.col("a").alias("node"), F.least("label", "node").alias("label"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"), F.least("u", "mn").alias("label")
+        )
+        .localCheckpoint(eager=True)
     )
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    e = e.localCheckpoint(eager=True) if _can_checkpoint(spark) else e.cache()
 
     for _ in range(max_iter):
-        lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
-        lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
-        # propagate: each node adopts min(label of self, labels of neighbors)
-        prop = (
-            e.join(lu, "u").join(lv, "v")
-            .select(
-                F.col("u").alias("node"), F.least("lu", "lv").alias("cand")
+        # 1) neighbor-min: cand(v) = min label among v and its neighbors
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("u"), F.col("label").alias("lu")),
+                "u",
             )
-            .union(
-                e.join(lu, "u").join(lv, "v").select(
-                    F.col("v").alias("node"), F.least("lu", "lv").alias("cand")
-                )
-            )
+            .groupBy("v")
+            .agg(F.min("lu").alias("nbr_min"))
+            .select(F.col("v").alias("node"), "nbr_min")
         )
-        new_labels = (
-            labels.join(prop.groupBy("node").agg(F.min("cand").alias("cand")), "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
-            )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
         )
-        new_labels = (
-            new_labels.localCheckpoint(eager=True)
-            if _can_checkpoint(spark)
-            else new_labels.cache()
+        # 2) pointer jump: label := label(label) (path halving)
+        lab2 = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("jumped")
         )
+        jumped = stepped.join(lab2, "label", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("jumped", "label")).alias("label")
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("label"))
             .limit(1)
             .count()
         )
@@ -127,7 +141,3 @@ def connected_components_global(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
-
-
-def _can_checkpoint(spark) -> bool:
-    return True

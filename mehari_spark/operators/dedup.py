@@ -1,0 +1,218 @@
+"""Deduplication suite over the documents table.
+
+Mehari analog: the global seen-keys dedup in parallel ingest
+(db/mod.rs:208-309) and unique-signature group dedup (compound.rs:114-163).
+For a 100 TB training-data pipeline we provide the standard ladder:
+
+- exact:     md5 of normalized text, groupBy — one shuffle on the hash.
+- n-gram Jaccard: exact token-set similarity via inverted-index explode-join
+  (shuffle on (lang, token); linear in postings, never a cross join).
+- MinHash/LSH: signatures in a pandas UDF, band-bucket join for candidates,
+  exact re-rank — the sub-quadratic scale path.
+- SimHash: 64-bit fingerprints, 16-bit chunk blocking for Hamming<=3.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.minhash import band_keys, hash_tokens, minhash_signature, perm_params
+from ..kernels.simhash import simhash64
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """md5(text) groups: (text_hash, n_docs, min_doc_id) — exact duplicates
+    share a group; min_doc_id is the canonical representative."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.95, within: tuple[str, ...] = ("lang",)
+) -> DataFrame:
+    """Doc pairs with token-set Jaccard >= threshold, blocked by ``within``
+    columns (() = global).
+
+    Inverted-index join: explode distinct tokens, equi-join on (within…, token),
+    count intersections, compute J = ni / (na + nb - ni). The shuffle key is
+    the join key; hot tokens are the skew risk — AQE skew-join splits them.
+    """
+    toks = _doc_tokens(docs)
+    sizes = toks.select("doc_id", F.size("toks").alias("n_toks"))
+    posts = toks.select("doc_id", *within, F.explode("toks").alias("tok"))
+    keys = [*within, "tok"]
+    a = posts.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = posts.select(F.col("doc_id").alias("doc_b"), *keys)
+    inter = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_toks", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_toks", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _minhash_rows(
+    it: Iterable[pd.DataFrame], num_perm: int, bands: int, seed: int
+) -> Iterator[pd.DataFrame]:
+    a, b = perm_params(num_perm, seed=seed)
+    for pdf in it:
+        ids: list[int] = []
+        band_idx: list[int] = []
+        band_key: list[int] = []
+        for doc_id, txt in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            toks = sorted(set((txt or "").split(" ")))
+            sig = minhash_signature(hash_tokens(toks), a, b)
+            for bi, bk in enumerate(band_keys(sig, bands)):
+                ids.append(doc_id)
+                band_idx.append(bi)
+                band_key.append(bk)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "band_idx": pd.Series(band_idx, dtype="int32"),
+                "band_key": pd.Series(band_key, dtype="int64"),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    num_perm: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard re-rank.
+
+    Candidates come from band-bucket self-join (sub-quadratic); the exact
+    re-rank keeps precision at 1.0, so recall vs ngram_jaccard_pairs is the
+    only LSH-tunable (tested >= 0.95 in tests/test_dedup_similarity.py).
+
+    Band geometry: bands=8 x rows=8 puts the S-curve knee near s~0.85
+    (P(collide)=0.9998 at s=0.95, 0.006 at s=0.5) — selective enough that a
+    corpus of broadly-similar documents doesn't degenerate to all-pairs.
+    """
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src_df = docs.select("doc_id", "text")
+    if src_df.rdd.getNumPartitions() < par:
+        src_df = src_df.repartition(par)  # parallelize the signature scan
+    bands_df = src_df.mapInPandas(
+        lambda it: _minhash_rows(it, num_perm, bands, seed),
+        schema="doc_id long, band_idx int, band_key long",
+    )
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band_idx", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact re-rank: join the candidate pairs back to the token ARRAYS (two
+    # equi-joins on doc_id) and intersect in-row — O(|cand| * doc_len), no
+    # postings explosion. The postings join is only worth it for the
+    # all-pairs exact path (ngram_jaccard_pairs).
+    toks = _doc_tokens(docs).select("doc_id", "toks")
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("ni"),
+            F.size("toks_a").alias("na"),
+            F.size("toks_b").alias("nb"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _simhash_rows(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        fps = [
+            simhash64((txt or "").split(" ")) for txt in pdf["text"].tolist()
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                # store as signed 64-bit (parquet/Spark have no uint64)
+                "simhash": pd.Series(
+                    [fp - (1 << 64) if fp >= (1 << 63) else fp for fp in fps],
+                    dtype="int64",
+                ),
+            }
+        )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").mapInPandas(
+        _simhash_rows, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_candidate_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dup pairs with Hamming(simhash) <= max_hamming via
+    16-bit chunk blocking (pigeonhole over 4 chunks)."""
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> named_struct("
+                "'chunk_idx', i, 'chunk_val', (simhash >> (i * 16)) & 65535))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,168 @@
+"""Per-partition checkpoints, lineage and metrics.
+
+Mehari writes a ``<output>.report.jsonl`` recording every build decision
+(db/transcripts/create/mod.rs:137-241) and commits RocksDB writes in batches
+(db/mod.rs:208-309). Our analog: the output table is written in B bucket
+groups (bucket = pmod(xxhash64(conv_id), B)); each bucket commit appends a
+checkpoint row + metrics rows. A restarted run skips committed buckets —
+kill/restart yields the identical table with no duplicate work.
+
+At production scale each bucket group is one Iceberg append (atomic commit);
+in the sandbox each bucket is one parquet subdirectory written atomically via
+rename-on-success (write to _tmp, then move).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BucketResult:
+    bucket: int
+    rows_out: int
+    skipped: bool
+    elapsed_s: float
+
+
+def _ckpt_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_checkpoints.jsonl")
+
+
+def load_committed(out_dir: str, run_scope: str = "") -> set[int]:
+    """Buckets already committed by ANY previous run of this output."""
+    path = _ckpt_path(out_dir)
+    done: set[int] = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("status") == "committed":
+                    done.add(int(rec["bucket"]))
+    return done
+
+
+def append_checkpoint(out_dir: str, record: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(_ckpt_path(out_dir), "a") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+
+
+def write_bucketed(
+    df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    key_col: str = "conv_id",
+    n_buckets: int = 8,
+    stage: str = "triples",
+    fail_after: int | None = None,
+) -> list[BucketResult]:
+    """Write ``df`` into n_buckets by hash(key_col) with per-bucket commits.
+
+    Resume-aware two-phase write:
+      1. ONE Spark job computes all *uncommitted* buckets (filter on the
+         bucket column is pushed into the plan) and stages them via
+         ``partitionBy("_bucket")`` — all buckets in parallel, the upstream
+         plan executes exactly once per restart.
+      2. per-bucket commit = atomic directory rename + checkpoint row
+         (cheap, no recompute) — the Iceberg-append analog.
+
+    Restart skips committed buckets in BOTH phases, so a killed run
+    recomputes only the remainder. ``fail_after`` kills the run after K
+    commits (the kill/restart test from BASELINE.md).
+    """
+    spark = df.sparkSession
+    committed = load_committed(out_dir)
+    remaining = [b for b in range(n_buckets) if b not in committed]
+    results: list[BucketResult] = [BucketResult(b, 0, True, 0.0) for b in committed]
+    if not remaining:
+        return results
+
+    # clear stale staging from killed runs (their buckets were not committed)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "_staging_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    bucket_col = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    staging = os.path.join(out_dir, f"_staging_{run_id}")
+    t0 = time.time()
+    (
+        df.withColumn("_bucket", bucket_col)
+        .filter(F.col("_bucket").isin(remaining))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(staging)
+    )
+    stage_elapsed = time.time() - t0
+
+    # one footer-level job for all bucket row counts (not one per bucket)
+    counts = {
+        int(r["_bucket"]): r["cnt"]
+        for r in spark.read.parquet(staging)
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    n_done = 0
+    try:
+        for b in remaining:
+            t1 = time.time()
+            src = os.path.join(staging, f"_bucket={b}")
+            final = os.path.join(out_dir, f"bucket={b}")
+            rows = counts.get(b, 0)
+            if os.path.exists(src):
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                os.replace(src, final)
+            append_checkpoint(
+                out_dir,
+                {
+                    "run_id": run_id,
+                    "bucket": b,
+                    "status": "committed",
+                    "rows_out": rows,
+                    "stage": stage,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "elapsed_s": round(time.time() - t1, 3),
+                },
+            )
+            results.append(BucketResult(b, rows, False, time.time() - t1))
+            n_done += 1
+            if fail_after is not None and n_done >= fail_after:
+                raise RuntimeError(f"injected failure after {n_done} bucket commits")
+    finally:
+        if os.path.exists(staging) and n_done == len(remaining):
+            shutil.rmtree(staging, ignore_errors=True)
+    write_metrics(
+        out_dir, run_id, stage, {"stage_write_s": round(stage_elapsed, 3)}
+    )
+    return results
+
+
+def read_bucketed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "bucket=*"))
+
+
+def write_metrics(out_dir: str, run_id: str, stage: str, metrics: dict) -> None:
+    """Metrics rows alongside each commit (report.jsonl analog)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_metrics.jsonl"), "a") as f:
+        for k, v in metrics.items():
+            f.write(
+                json.dumps(
+                    {"run_id": run_id, "stage": stage, "metric": k, "value": v},
+                    sort_keys=True,
+                )
+                + "\n"
+            )

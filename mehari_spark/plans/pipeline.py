@@ -1,0 +1,123 @@
+"""End-to-end KG-construction pipeline (the `mehari annotate seqvars` analog,
+mod.rs:829-1047 -> SURVEY.md §3.1 Spark translation).
+
+Stages (each one a narrow/wide DataFrame stage; the only wide shuffles are
+the conv_id repartition, the triple-assembly window, and the coref groupBy):
+
+ 1. scan transcripts (Iceberg/parquet), prune to (conv_id, turn_idx, text)
+ 2. repartition by hash(conv_id) with optional hot-key salting, then
+    sortWithinPartitions(conv_id, turn_idx) — the coordinate-sorted
+    contract (compound.rs:54-60 analog; per-turn text-equality invariant)
+ 3. mapInPandas Aho-Corasick mention scan (broadcast dictionary)
+ 4. windowed triple assembly + best-per-group dedup
+ 5. per-conversation coreference connected components
+ 6. bucketed, checkpointed write of triples + entities + metrics
+
+Resumable: write_bucketed skips committed buckets on restart.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dictionary import DictPattern
+from ..operators.coref import coref_clusters
+from ..operators.mentions import detect_mentions, resolve_overlaps
+from ..operators.triples import assemble_triples, extract_triples_fused
+from .lineage import write_bucketed, write_metrics
+
+
+def partition_for_scan(
+    transcripts: DataFrame,
+    n_partitions: int = 32,
+    salt_hot: bool = True,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Repartition by hash(conv_id) (+salt for hot conversations), restore
+    (conv_id, turn_idx) order within partitions.
+
+    Salting (north_rule P15): conversations with > hot_threshold turns get a
+    per-turn salt so one conv can't pin a partition; the mention scan is
+    per-turn so salting is transparent to it. Downstream per-conv stages
+    re-shuffle on conv_id where needed (windows do their own partitioning).
+    """
+    if salt_hot:
+        # a cheap per-turn salt derived from turn_idx keeps hot convs spread;
+        # cold convs (the common case) keep salt 0 via the modulo guard
+        salt = F.when(
+            F.col("turn_idx") > hot_threshold,
+            F.pmod(F.col("turn_idx"), F.lit(16)),
+        ).otherwise(F.lit(0))
+        df = transcripts.withColumn("_salt", salt)
+        out = df.repartition(n_partitions, F.col("conv_id"), F.col("_salt")).drop(
+            "_salt"
+        )
+    else:
+        out = transcripts.repartition(n_partitions, F.col("conv_id"))
+    return out.sortWithinPartitions("conv_id", "turn_idx")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    patterns: list[DictPattern],
+    out_dir: str,
+    run_id: str | None = None,
+    n_partitions: int = 32,
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+    mode: str = "fused",
+) -> dict:
+    """Full pipeline; returns a metrics dict. Re-running with the same
+    out_dir resumes from per-bucket checkpoints.
+
+    ``mode='fused'`` runs the whole per-turn kernel inside the scan (zero
+    mention shuffles — the mehari execution shape); ``mode='windowed'`` is
+    the declarative window-based plan (same results, used by the
+    oracle-checked queries)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    ordered = partition_for_scan(transcripts, n_partitions=n_partitions)
+    if mode == "fused":
+        triples = extract_triples_fused(ordered, patterns)
+    else:
+        mentions = resolve_overlaps(detect_mentions(ordered, patterns))
+        triples = assemble_triples(mentions)
+    results = write_bucketed(
+        triples,
+        f"{out_dir}/triples",
+        run_id,
+        key_col="conv_id",
+        n_buckets=n_buckets,
+        stage="triples",
+        fail_after=fail_after,
+    )
+
+    clusters = coref_clusters(
+        spark.read.parquet(f"{out_dir}/triples/bucket=*")
+    )
+    write_bucketed(
+        clusters,
+        f"{out_dir}/entities",
+        run_id,
+        key_col="conv_id",
+        n_buckets=max(1, n_buckets // 2),
+        stage="entities",
+    )
+
+    elapsed = time.time() - t0
+    rows_out = sum(r.rows_out for r in results)
+    metrics = {
+        "elapsed_s": round(elapsed, 3),
+        "triples_written": rows_out,
+        "buckets_skipped": sum(1 for r in results if r.skipped),
+        "n_partitions": n_partitions,
+        "n_buckets": n_buckets,
+    }
+    write_metrics(out_dir, run_id, "pipeline", metrics)
+    return metrics

@@ -199,3 +199,574 @@ def kg_triples_by_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("subj_id").alias("min_subj"),
         F.max("obj_id").alias("max_obj"),
     )
+
+
+# --------------------------------------------------------------------------
+# entity linking (minhash/LSH blocking + scoring)
+# --------------------------------------------------------------------------
+
+# bigram-set CTE over short strings, DuckDB side (mirror of _shingle_df)
+_LINK_CTE = f"""
+{TRANSCRIPTS_ORACLE_CTE.strip()},
+toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS surface FROM turns
+),
+ent AS (SELECT * FROM {entity_values_sql()}),
+surf AS (SELECT surface FROM toks WHERE surface NOT IN (SELECT alias FROM ent)),
+s_sh AS (
+  SELECT DISTINCT surface, substr('^' || surface || '$', CAST(i AS INTEGER), 2) AS shingle
+  FROM surf, unnest(generate_series(1, length(surface) + 1)) AS g(i)
+),
+d_sh AS (
+  SELECT DISTINCT alias, entity_id, substr('^' || alias || '$', CAST(i AS INTEGER), 2) AS shingle
+  FROM ent, unnest(generate_series(1, length(alias) + 1)) AS g(i)
+),
+s_cnt AS (SELECT surface, COUNT(*) AS ns FROM s_sh GROUP BY surface),
+d_cnt AS (SELECT alias, entity_id, COUNT(*) AS nd FROM d_sh GROUP BY alias, entity_id),
+inter AS (
+  SELECT s.surface, d.alias, d.entity_id, COUNT(*) AS ni
+  FROM s_sh s JOIN d_sh d ON s.shingle = d.shingle
+  GROUP BY s.surface, d.alias, d.entity_id
+),
+scored AS (
+  SELECT i.surface, i.entity_id,
+         CAST(i.ni AS DOUBLE) / (s.ns + d.nd - i.ni) AS score
+  FROM inter i JOIN s_cnt s ON i.surface = s.surface
+       JOIN d_cnt d ON i.alias = d.alias AND i.entity_id = d.entity_id
+  WHERE CAST(i.ni AS DOUBLE) / (s.ns + d.nd - i.ni) >= 0.2
+)
+"""
+
+
+@register(
+    "kg_link_surface_forms",
+    f"""WITH {_LINK_CTE}
+SELECT surface, entity_id FROM (
+  SELECT surface, entity_id,
+         ROW_NUMBER() OVER (PARTITION BY surface ORDER BY score DESC, entity_id) AS rn
+  FROM scored
+) WHERE rn = 1""",
+)
+def kg_link_surface_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 analog: noisy-surface -> entity via exact 2-gram Jaccard top-1
+    (the oracle-checkable reference path for the LSH linker)."""
+    from ..dictionary import entity_df
+    from ..operators.linking import link_exact_jaccard
+
+    t = transcripts(spark, sf_dir)
+    ents = entity_df(spark)
+    surfaces = (
+        t.select(F.explode(F.split("text", " ")).alias("surface"))
+        .distinct()
+        .join(ents.select(F.col("alias").alias("surface")), "surface", "left_anti")
+    )
+    return link_exact_jaccard(surfaces, ents, threshold=0.2).select(
+        "surface", "entity_id"
+    )
+
+
+@register("kg_link_lsh", None)  # hash-based blocking: rows-only; recall tested in pytest
+def kg_link_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dictionary import entity_df
+    from ..operators.linking import link_lsh
+
+    t = transcripts(spark, sf_dir)
+    ents = entity_df(spark)
+    surfaces = (
+        t.select(F.explode(F.split("text", " ")).alias("surface"))
+        .distinct()
+        .join(ents.select(F.col("alias").alias("surface")), "surface", "left_anti")
+    )
+    return link_lsh(surfaces, ents, threshold=0.2).select("surface", "entity_id")
+
+
+# --------------------------------------------------------------------------
+# deduplication suite (documents)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup",
+    """SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS n_docs,
+       MIN(doc_id)::BIGINT AS min_doc_id
+FROM documents GROUP BY md5(text)""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_jaccard_pairs",
+    """WITH t AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+posts AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+sizes AS (SELECT doc_id, len(toks) AS n_toks FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+  FROM posts a JOIN posts b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, ni::BIGINT AS ni, sa.n_toks::BIGINT AS na, sb.n_toks::BIGINT AS nb
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(ni AS DOUBLE) / (sa.n_toks + sb.n_toks - ni) >= 0.95""",
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (inverted-index join), integer
+    outputs (ni, na, nb) so the value hash is float-proof."""
+    from ..operators.dedup import _doc_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    sizes = toks.select("doc_id", F.size("toks").alias("n_toks"))
+    posts = toks.select("doc_id", "lang", F.explode("toks").alias("tok"))
+    inter = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb")),
+            "doc_b",
+        )
+        .filter(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")) >= 0.95)
+        .select("doc_a", "doc_b", "ni", "na", "nb")
+    )
+
+
+@register("doc_minhash_pairs", None)  # LSH blocking: rows-only; recall tested in pytest
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@register("doc_simhash_pairs", None)  # hash fingerprints: rows-only
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_text_quality",
+    """SELECT doc_id, lang,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+       len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))::BIGINT AS n_stopwords,
+       length(text)::BIGINT AS n_text_chars
+FROM documents""",
+)
+def doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import text_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    q = text_quality(docs)
+    return q.join(docs.select("doc_id", F.length("text").alias("n_text_chars")), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "n_text_chars",
+    )
+
+
+@register(
+    "doc_token_topk",
+    """SELECT token, n FROM (
+  SELECT token, COUNT(*)::BIGINT AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+) ORDER BY n DESC, token LIMIT 25""",
+)
+def doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_topk
+
+    return token_topk(_read(spark, sf_dir, "documents"), k=25)
+
+
+@register(
+    "doc_lang_id",
+    """WITH markers(cand_lang, marker) AS (VALUES
+  ('en','the'),('en','fast'),('en','small'),
+  ('de','batch'),('de','slow'),('de','window'),
+  ('fr','merge'),('fr','vector'),('fr','column'),
+  ('es','join'),('es','stream'),('es','value'),
+  ('zh','hash'),('zh','scan'),('zh','query')),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+hits AS (
+  SELECT doc_id, cand_lang, COUNT(*)::BIGINT AS hits
+  FROM toks JOIN markers ON token = marker GROUP BY doc_id, cand_lang
+)
+SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn FROM hits
+) WHERE rn = 1""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprints", None)  # winnowing kernel: rows-only; kernel unit-tested
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import doc_fingerprints as fps
+
+    return (
+        fps(_read(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fps"), F.min("fp").alias("min_fp"))
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+_QUERY_IDS = list(range(10))
+
+
+@register(
+    "emb_cosine_topk",
+    f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN ({', '.join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 9) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (cos rounded to 9dp pre-rank in both
+    engines so float ulps can't flip the order)."""
+    from ..operators.similarity import _dot, _norm
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                9,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@register("emb_ivf_topk", None)  # approximate ANN: rows-only; recall tested in pytest
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
+
+
+@register("emb_lsh_buckets", None)  # hyperplane LSH: rows-only
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hyperplane_lsh_buckets
+
+    return (
+        hyperplane_lsh_buckets(_read(spark, sf_dir, "embeddings"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+@register("media_decode", None)  # stubbed codec: rows-only; plumbing tested in pytest
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_features, synth_media
+
+    media = synth_media(_read(spark, sf_dir, "documents"))
+    return decode_features(media, dim=32, fake=True).select(
+        "media_id", "kind", "n_bytes", F.size("features").alias("n_features")
+    )
+
+
+# --------------------------------------------------------------------------
+# classic OLAP coverage over the TPC-H-ish tables (scan/filter/join/agg/
+# window/sort/set ops — SURVEY.md §2.2-2.7 operator families). Money is
+# summed in integer cents (exact, engine-independent).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_c,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT AS sum_disc_c,
+       COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide agg after a pushed-down filter (A1/F-family)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_c"
+            ),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("sum_disc_c"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """SELECT o_orderkey, revenue_c, o_orderpriority FROM (
+  SELECT o.o_orderkey,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT AS revenue_c,
+         ANY_VALUE(o.o_orderpriority) AS o_orderpriority
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY o.o_orderkey
+) ORDER BY revenue_c DESC, o_orderkey LIMIT 10""",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast dims) + top-k (J-family, O-family)."""
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("revenue_c"),
+            F.any_value(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue_c", "o_orderpriority")
+    )
+
+
+@register(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as left-semi join (J-family)."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q5_nation_volume",
+    """SELECT n.n_name,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT AS revenue_c,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name""",
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through two broadcast dims (J-family)."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "events_sessions",
+    """WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id""",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 analog: sessionization via lag + running sum (ordered stateful op
+    as plain windows — mehari's VariantBuffer flush logic, compound.rs:54-60)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # parquet NTZ -> session-UTC ts
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    g = ev.withColumn(
+        "is_new",
+        F.when(gap_ms > 1800000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "events_topk_per_user",
+    """SELECT user_id, event_id, rank FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3""",
+)
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group window (O5 analog)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+@register(
+    "events_type_rollup",
+    """SELECT event_type,
+       date_trunc('day', ts)::DATE::VARCHAR AS day,
+       COUNT(*)::BIGINT AS n,
+       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
+FROM events GROUP BY event_type, date_trunc('day', ts)""",
+)
+def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (C5 binning analog)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    """SELECT c_custkey, 'inactive' AS tag FROM (
+  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'big_spender' AS tag FROM (
+  SELECT c_custkey FROM customer
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)""",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family: EXCEPT / INTERSECT / UNION ALL composition."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = _read(spark, sf_dir, "orders")
+    inactive = c.exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct()
+    big = c.intersect(
+        o.filter(F.col("o_totalprice") > 300000).select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+    )
+    return inactive.withColumn("tag", F.lit("inactive")).unionByName(
+        big.withColumn("tag", F.lit("big_spender"))
+    )

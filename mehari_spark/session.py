@@ -44,6 +44,7 @@ def get_spark(
         # deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("MEHARI_SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -56,8 +56,16 @@ def derive_transcripts(docs: DataFrame) -> DataFrame:
     )
 
 
-def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return derive_transcripts(load_documents(spark, sf_dir))
+def transcripts(
+    spark: SparkSession, sf_dir: str, spread: int | None = None
+) -> DataFrame:
+    """``spread`` repartitions the (single-file) documents source before the
+    derivation so downstream map stages parallelize — the 100 TB input is
+    thousands of Iceberg files and needs no such help."""
+    docs = load_documents(spark, sf_dir)
+    if spread:
+        docs = docs.repartition(spread)
+    return derive_transcripts(docs)
 
 
 # The DuckDB-side mirror of derive_transcripts(); prepend to oracle SQL.

@@ -48,9 +48,7 @@ dt = time.time() - t0
 # cluster scales with executor count)
 from mehari_spark.operators.triples import extract_triples_fused
 from mehari_spark.operators.coref import coref_clusters
-from mehari_spark.plans.pipeline import partition_for_scan
-ordered = partition_for_scan(t, n_partitions=max(cores * 2, 8))
-tr = extract_triples_fused(ordered, demo_patterns())
+tr = extract_triples_fused(t, demo_patterns())
 tr.write.format("noop").mode("overwrite").save()   # python-worker warm
 t0 = time.time()
 tr.write.format("noop").mode("overwrite").save()

@@ -82,10 +82,15 @@ def run_pipeline(
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
 
-    ordered = partition_for_scan(transcripts, n_partitions=n_partitions)
     if mode == "fused":
-        triples = extract_triples_fused(ordered, patterns)
+        # the fused kernel is turn-local: no cross-row ordering needed, so
+        # the raw-text repartition shuffle is skipped entirely — the scan
+        # stays a narrow map and the only wide stages are the bucketed
+        # write and coref's groupBy(conv_id) (which shuffles the narrow
+        # triple rows, ~10x smaller than the text)
+        triples = extract_triples_fused(transcripts, patterns)
     else:
+        ordered = partition_for_scan(transcripts, n_partitions=n_partitions)
         mentions = resolve_overlaps(detect_mentions(ordered, patterns))
         triples = assemble_triples(mentions)
     results = write_bucketed(

@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("MEHARI_SPARK_DRIVER_MEM", "8g"))
     )
+    # opt-in tmpfs shuffle dir: on a real cluster every executor brings its
+    # own local disks, so single-shared-disk shuffle is a local-mode artifact;
+    # MEHARI_SPARK_LOCAL_DIR=/dev/shm/... emulates per-node disk bandwidth
+    local_dir = os.environ.get("MEHARI_SPARK_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -770,3 +770,210 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inactive.withColumn("tag", F.lit("inactive")).unionByName(
         big.withColumn("tag", F.lit("big_spender"))
     )
+
+
+# --------------------------------------------------------------------------
+# dictionary-build job (mehari `db transcripts create` analog: filter chain
+# with hard/soft reasons, F10; build stats A6) + canonicalizer + misc
+# operator families (rollup, pivot, JSON, HOF aggregates, ranked windows)
+# --------------------------------------------------------------------------
+
+_STOP_ALIASES = "('and', 'the', 'of')"
+
+
+@register(
+    "dict_build_filters",
+    f"""WITH cand AS (
+  SELECT tok AS alias, COUNT(DISTINCT p_partkey)::BIGINT AS n_parts
+  FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok FROM part)
+  GROUP BY tok
+),
+flagged AS (
+  SELECT alias, n_parts,
+    (CASE WHEN length(alias) < 4 THEN 1 ELSE 0 END
+     + CASE WHEN n_parts > 20 THEN 2 ELSE 0 END
+     + CASE WHEN alias IN {_STOP_ALIASES} THEN 4 ELSE 0 END)::INTEGER AS filter_reason
+  FROM cand
+)
+SELECT alias, n_parts, filter_reason,
+       (filter_reason % 2 = 1) AS hard_filtered
+FROM flagged""",
+)
+def dict_build_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 analog: dictionary-build filter chain over candidate aliases
+    mined from part names — hard reasons drop (bit 1), soft reasons keep
+    with a bitmask flag (bits 2/4), mirroring mehari's Reason enum
+    (db/transcripts/create/models.rs:65-108)."""
+    part = _read(spark, sf_dir, "part")
+    cand = (
+        part.select(
+            "p_partkey", F.explode(F.split("p_name", " ")).alias("alias")
+        )
+        .groupBy("alias")
+        .agg(F.countDistinct("p_partkey").alias("n_parts"))
+    )
+    reason = (
+        F.when(F.length("alias") < 4, 1).otherwise(0)
+        + F.when(F.col("n_parts") > 20, 2).otherwise(0)
+        + F.when(F.col("alias").isin("and", "the", "of"), 4).otherwise(0)
+    ).cast("int")
+    return cand.select(
+        "alias",
+        "n_parts",
+        reason.alias("filter_reason"),
+        (F.pmod(reason, F.lit(2)) == 1).alias("hard_filtered"),
+    )
+
+
+@register(
+    "kg_canonicalized_triples",
+    f"""WITH {_TRIPLES_CTE}
+SELECT conv_id, turn_idx, subj_id,
+       CASE WHEN pred_id = 103 THEN 101 ELSE pred_id END AS pred_id, obj_id
+FROM triples WHERE pred_id <> 110""",
+)
+def kg_canonicalized_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizer operator applied as a rule table: umbrella rewrite
+    103->101 plus suppression of 110 (adjust_vep_terms /
+    consequences_fix_special_cases analogs, logic.rs:1054-1371)."""
+    from ..operators.canonicalize import canonicalize_predicates
+
+    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
+    t = assemble_triples(m).select(
+        "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
+    )
+    return canonicalize_predicates(t, {103: 101, 110: None})
+
+
+@register(
+    "events_json_props",
+    """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
+       COUNT(*)::BIGINT AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY 1""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 analog: JSON property extraction + bucketing (semi-structured)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.pmod(k, F.lit(10)).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "orders_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_c
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over two dims."""
+    o = _read(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_c"),
+    )
+
+
+@register(
+    "lineitem_pivot",
+    """SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END)::BIGINT AS qty_O_c,
+       SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END)::BIGINT AS qty_F_c
+FROM lineitem GROUP BY l_returnflag""",
+)
+def lineitem_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage (fixed value set, so the plan is a single agg)."""
+    li = _read(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(qc))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("qty_O_c"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("qty_F_c"),
+    )
+
+
+@register(
+    "lineitem_rank_in_order",
+    """SELECT l_orderkey, l_linenumber, rank_ord, rank_total FROM (
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rank_ord,
+         COUNT(*) OVER (PARTITION BY l_orderkey)::BIGINT AS rank_total
+  FROM lineitem
+) WHERE rank_ord <= 2""",
+)
+def lineitem_rank_in_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 analog: Rank{ord, total} within a group (exon-rank shape,
+    logic.rs:558-577)."""
+    li = _read(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    wt = W.partitionBy("l_orderkey")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.row_number().over(w).alias("rank_ord"),
+            F.count("*").over(wt).alias("rank_total"),
+        )
+        .filter(F.col("rank_ord") <= 2)
+    )
+
+
+@register(
+    "doc_token_len_hof",
+    """SELECT doc_id,
+       CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS BIGINT) AS sum_tok_len,
+       CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'max') AS BIGINT) AS max_tok_len
+FROM documents""",
+)
+def doc_token_len_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 analog: higher-order-function aggregation over an array column
+    (exon-extent min/max shape, provider.rs:74-84) — stays in codegen."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda t: F.length(t).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_tok_len"
+        ),
+        F.array_max(lens).alias("max_tok_len"),
+    )
+
+
+@register(
+    "events_lag_validation",
+    """SELECT user_id, COUNT(*)::BIGINT AS n_violations FROM (
+  SELECT user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events WHERE event_type = 'purchase'
+) WHERE prev_value IS NOT NULL AND value < prev_value * 0.1
+GROUP BY user_id""",
+)
+def events_lag_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 analog: ordered pairwise validation via lag (logic.rs:2136-2166) —
+    flag purchases dropping >10x vs the user's previous purchase."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(
+            F.col("prev_value").isNotNull()
+            & (F.col("value") < F.col("prev_value") * 0.1)
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_violations"))
+    )

@@ -14,11 +14,18 @@ import os
 import sys
 import time
 
+# make the repo importable for this process AND the executor python workers
+# (which inherit PYTHONPATH through the JVM) when invoked from elsewhere
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 # headline queries: the flagship KG path + the scale-relevant analytics ops
 HEADLINE = [
     "kg_transcripts",
     "kg_entity_mentions",
     "kg_triples",
+    "kg_triples_fused",
     "kg_coref_clusters",
     "doc_jaccard_pairs",
     "doc_minhash_pairs",

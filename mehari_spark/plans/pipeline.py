@@ -93,6 +93,11 @@ def run_pipeline(
         ordered = partition_for_scan(transcripts, n_partitions=n_partitions)
         mentions = resolve_overlaps(detect_mentions(ordered, patterns))
         triples = assemble_triples(mentions)
+    # lineage struct rides with every materialized row (report.jsonl analog)
+    triples = triples.withColumn(
+        "lineage",
+        F.struct(F.lit(run_id).alias("run_id"), F.lit("triples").alias("stage")),
+    )
     results = write_bucketed(
         triples,
         f"{out_dir}/triples",

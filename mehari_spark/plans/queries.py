@@ -977,3 +977,19 @@ def events_lag_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_violations"))
     )
+
+
+@register(
+    "kg_triples_fused",
+    f"""WITH {_TRIPLES_CTE}
+SELECT conv_id, turn_idx, subj_id, pred_id, obj_id FROM triples""",
+)
+def kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fused kernel (scan-local AC + assembly + dedup, zero
+    shuffles) checked against the SAME oracle as the windowed plan — the
+    two implementations are interchangeable by construction."""
+    from ..operators.triples import extract_triples_fused
+
+    return extract_triples_fused(transcripts(spark, sf_dir), demo_patterns()).select(
+        "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
+    )

@@ -163,3 +163,29 @@ class TestFusedEquivalence:
         windowed = _engine_triples(spark, turns)
         assert fused == windowed
         assert fused == golden
+
+
+class TestSkewSalting:
+    def test_hot_conversation_spreads_across_partitions(self, spark):
+        """north_rule P15: a hot conversation (>hot_threshold turns) must not
+        pin one partition — salting spreads it."""
+        from pyspark.sql import functions as F
+
+        hot = spark.range(0, 40000).select(
+            F.lit("hot_conv").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("alice uses kafka").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.current_timestamp().alias("ts"),
+        )
+        out = partition_for_scan(hot, n_partitions=8, hot_threshold=1000)
+        sizes = (
+            out.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        nonempty = [r["count"] for r in sizes]
+        assert len(nonempty) >= 4, f"hot conv pinned to {len(nonempty)} partition(s)"
+        assert max(nonempty) < 40000  # not all rows in one partition

@@ -993,3 +993,75 @@ def kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_fused(transcripts(spark, sf_dir), demo_patterns()).select(
         "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
     )
+
+
+@register(
+    "kg_verify_engines",
+    f"""WITH {_TRIPLES_CTE}
+SELECT COUNT(*)::BIGINT AS n_ok, 0::BIGINT AS n_pred_mismatch,
+       0::BIGINT AS n_missing, 0::BIGINT AS n_extra,
+       1.0 AS precision, 1.0 AS recall
+FROM triples""",
+)
+def kg_verify_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 analog (verify seqvars): full-outer classification join between
+    the fused production engine and the windowed reference plan — the P/R
+    harness as a distributed operator. Oracle: the two engines are
+    interchangeable, so everything classifies ok with P = R = 1.0."""
+    from ..operators.triples import extract_triples_fused
+    from ..operators.verify_join import verify_summary
+
+    t = transcripts(spark, sf_dir)
+    fused = extract_triples_fused(t, demo_patterns())
+    windowed = assemble_triples(detect_mentions(t, demo_patterns()))
+    return verify_summary(fused, windowed)
+
+
+@register(
+    "kg_cluster_summary",
+    f"""WITH RECURSIVE {_TRIPLES_CTE},
+edges AS (
+  SELECT DISTINCT conv_id, LEAST(subj_id, obj_id) AS src, GREATEST(subj_id, obj_id) AS dst
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT conv_id, src, dst FROM edges UNION SELECT conv_id, dst, src FROM edges
+),
+nodes AS (SELECT DISTINCT conv_id, src AS node FROM bidir),
+reach AS (
+  SELECT conv_id, node, node AS root FROM nodes
+  UNION
+  SELECT b.conv_id, b.dst AS node, r.root
+  FROM reach r JOIN bidir b ON b.conv_id = r.conv_id AND b.src = r.node
+),
+clusters AS (
+  SELECT conv_id, node AS entity_id, MIN(root) AS cluster_id
+  FROM reach GROUP BY conv_id, node
+),
+tr_c AS (
+  SELECT t.conv_id, c.cluster_id, t.subj_id, t.pred_id, t.obj_id
+  FROM triples t JOIN clusters c ON t.conv_id = c.conv_id AND t.subj_id = c.entity_id
+)
+SELECT conv_id, cluster_id,
+       COUNT(*)::BIGINT AS n_triples,
+       COUNT(DISTINCT subj_id)::BIGINT AS n_subjects,
+       MIN(pred_id)::BIGINT AS min_pred
+FROM tr_c GROUP BY conv_id, cluster_id""",
+)
+def kg_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog (SV cluster merge): per-coref-cluster rollup — join triples
+    onto their subject's cluster, aggregate counts per (conv, cluster)."""
+    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
+    t = assemble_triples(m)
+    clusters = coref_clusters(t)
+    joined = t.join(
+        clusters.select(
+            "conv_id", F.col("entity_id").alias("subj_id"), "cluster_id"
+        ),
+        ["conv_id", "subj_id"],
+    )
+    return joined.groupBy("conv_id", "cluster_id").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj_id").alias("n_subjects"),
+        F.min("pred_id").alias("min_pred"),
+    )

@@ -45,11 +45,21 @@ def detect_mentions(
     patterns: list[DictPattern],
     text_col: str = "text",
 ) -> DataFrame:
-    """transcripts -> mentions (MENTIONS_SCHEMA rows), one per dictionary hit."""
+    """transcripts -> mentions (MENTIONS_SCHEMA rows), one per dictionary hit.
+
+    Unique single-token dictionaries take a numpy-vectorized match path
+    (one dict-map over the flattened token stream per Arrow batch); other
+    dictionaries use the Aho-Corasick automaton. Identical outputs —
+    cross-checked in tests.
+    """
     import uuid
 
     spark = transcripts.sparkSession
-    bc = spark.sparkContext.broadcast(patterns)
+    pattern_list = list(patterns)
+    surfaces = [p.tokens[0] for p in pattern_list if len(p.tokens) == 1]
+    if len(surfaces) == len(pattern_list) and len(set(surfaces)) == len(surfaces):
+        return _detect_mentions_vectorized(transcripts, pattern_list, text_col)
+    bc = spark.sparkContext.broadcast(pattern_list)
     bc_id = uuid.uuid4().hex  # dictionary-version token for the executor cache
 
     def scan_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,3 +147,94 @@ def resolve_overlaps(mentions: DataFrame) -> DataFrame:
         )
         .drop("prev_end")
     )
+
+
+def _detect_mentions_vectorized(
+    transcripts: DataFrame, patterns: list[DictPattern], text_col: str
+) -> DataFrame:
+    """Single-token fast path: flatten the batch's token stream, one
+    vectorized dict-map, recover token + char positions with cumsums."""
+    import numpy as np
+
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast(patterns)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pats = bc.value
+        tok2idx = {p.tokens[0]: i for i, p in enumerate(pats)}
+        kinds = np.array([p.kind for p in pats], dtype=object)
+        refs = np.array([p.ref_id for p in pats], dtype=np.int64)
+        canons = np.array([p.canon_id for p in pats], dtype=np.int64)
+        ranks = np.array([p.rank for p in pats], dtype=np.int64)
+
+        def empty() -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "turn_idx": pd.Series([], dtype="int32"),
+                    "kind": pd.Series([], dtype="object"),
+                    "ref_id": pd.Series([], dtype="int64"),
+                    "canon_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int32"),
+                    "pos": pd.Series([], dtype="int32"),
+                    "tok_len": pd.Series([], dtype="int32"),
+                    "char_start": pd.Series([], dtype="int32"),
+                    "char_end": pd.Series([], dtype="int32"),
+                }
+            )
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield empty()
+                continue
+            tok_lists = [(t.split(" ") if t else []) for t in pdf[text_col].tolist()]
+            lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if total == 0:
+                yield empty()
+                continue
+            flat = [tok for toks in tok_lists for tok in toks]
+            pat_idx = np.fromiter(
+                (tok2idx.get(t, -1) for t in flat), dtype=np.int64, count=total
+            )
+            hit = pat_idx >= 0
+            if not hit.any():
+                yield empty()
+                continue
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_of = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            tok_lens_flat = np.fromiter(
+                (len(t) for t in flat), dtype=np.int64, count=total
+            )
+            cum_end = np.cumsum(tok_lens_flat + 1)
+            char_start_flat = cum_end - tok_lens_flat - 1
+            # rows with zero tokens have starts == next row's start (may be
+            # == total for trailing empties); clamp — their repeat count is 0
+            safe_starts = np.minimum(starts, total - 1)
+            row_base = np.repeat(char_start_flat[safe_starts], lens)
+            char_start = char_start_flat - row_base
+            h = np.nonzero(hit)[0]
+            hp = pat_idx[h]
+            conv_vals = pdf["conv_id"].to_numpy()
+            turn_vals = pdf["turn_idx"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(conv_vals[row_of[h]], dtype="object"),
+                    "turn_idx": pd.Series(turn_vals[row_of[h]], dtype="int32"),
+                    "kind": pd.Series(kinds[hp], dtype="object"),
+                    "ref_id": pd.Series(refs[hp], dtype="int64"),
+                    "canon_id": pd.Series(canons[hp], dtype="int64"),
+                    "rank": pd.Series(ranks[hp], dtype="int32"),
+                    "pos": pd.Series(pos_of[h], dtype="int32"),
+                    "tok_len": pd.Series(np.ones(h.size), dtype="int32"),
+                    "char_start": pd.Series(char_start[h], dtype="int32"),
+                    "char_end": pd.Series(
+                        char_start[h] + tok_lens_flat[h], dtype="int32"
+                    ),
+                }
+            )
+
+    narrow = transcripts.select("conv_id", "turn_idx", text_col)
+    return narrow.mapInPandas(run, schema=MENTIONS_DDL)

@@ -113,7 +113,7 @@ def kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kg_entity_mentions",
     f"""WITH {_TOKENS_CTE}
-SELECT conv_id, turn_idx, entity_id, COUNT(*)::BIGINT AS n_mentions
+SELECT conv_id, turn_idx, entity_id::BIGINT AS entity_id, COUNT(*)::BIGINT AS n_mentions
 FROM em GROUP BY conv_id, turn_idx, entity_id""",
 )
 def kg_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +129,7 @@ def kg_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kg_predicate_mentions",
     f"""WITH {_TOKENS_CTE}
-SELECT conv_id, turn_idx, canon_id AS pred_id, COUNT(*)::BIGINT AS n_mentions
+SELECT conv_id, turn_idx, canon_id::BIGINT AS pred_id, COUNT(*)::BIGINT AS n_mentions
 FROM pm GROUP BY conv_id, turn_idx, canon_id""",
 )
 def kg_predicate_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,7 +241,7 @@ scored AS (
 @register(
     "kg_link_surface_forms",
     f"""WITH {_LINK_CTE}
-SELECT surface, entity_id FROM (
+SELECT surface, entity_id::BIGINT AS entity_id FROM (
   SELECT surface, entity_id,
          ROW_NUMBER() OVER (PARTITION BY surface ORDER BY score DESC, entity_id) AS rn
   FROM scored
@@ -309,7 +309,7 @@ inter AS (
   FROM posts a JOIN posts b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b, ni::BIGINT AS ni, sa.n_toks::BIGINT AS na, sb.n_toks::BIGINT AS nb
+SELECT doc_a, doc_b, ni::BIGINT AS ni, sa.n_toks::INTEGER AS na, sb.n_toks::INTEGER AS nb
 FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(ni AS DOUBLE) / (sa.n_toks + sb.n_toks - ni) >= 0.95""",
 )
@@ -382,7 +382,10 @@ def doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     q = text_quality(docs)
-    return q.join(docs.select("doc_id", F.length("text").alias("n_text_chars")), "doc_id").select(
+    return q.join(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_text_chars")),
+        "doc_id",
+    ).select(
         "doc_id",
         "lang",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -459,7 +462,7 @@ scored AS (
               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 9) AS cos
   FROM q, embeddings e WHERE e.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, rank FROM (
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM (
   SELECT query_id, neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored
@@ -708,7 +711,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_topk_per_user",
-    """SELECT user_id, event_id, rank FROM (
+    """SELECT user_id, event_id, rank::INTEGER AS rank FROM (
   SELECT user_id, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
   FROM events
@@ -908,7 +911,7 @@ def lineitem_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lineitem_rank_in_order",
-    """SELECT l_orderkey, l_linenumber, rank_ord, rank_total FROM (
+    """SELECT l_orderkey, l_linenumber, rank_ord::INTEGER AS rank_ord, rank_total FROM (
   SELECT l_orderkey, l_linenumber,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rank_ord,
          COUNT(*) OVER (PARTITION BY l_orderkey)::BIGINT AS rank_total
@@ -1000,7 +1003,7 @@ def kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {_TRIPLES_CTE}
 SELECT COUNT(*)::BIGINT AS n_ok, 0::BIGINT AS n_pred_mismatch,
        0::BIGINT AS n_missing, 0::BIGINT AS n_extra,
-       1.0 AS precision, 1.0 AS recall
+       1.0::DOUBLE AS precision, 1.0::DOUBLE AS recall
 FROM triples""",
 )
 def kg_verify_engines(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,11 +151,23 @@ def link_lsh(
     alias_col: str = "alias",
     id_col: str = "entity_id",
     threshold: float = 0.2,
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 128,
+    bands: int = 64,
     n: int = NGRAM,
 ) -> DataFrame:
-    """LSH-blocked top-1 link: band join -> exact-Jaccard re-rank."""
+    """LSH-blocked top-1 link: band join -> exact-Jaccard re-rank.
+
+    Band geometry is aligned with the scoring threshold: the S-curve knee is
+    (1/bands)^(1/rows) with rows = num_perm/bands, so the default 64 bands x
+    2 rows puts the knee at (1/64)^(1/2) ~= 0.125 — well BELOW the default
+    0.2 threshold, i.e. a candidate at exactly the threshold collides in at
+    least one band with probability 1-(1-0.2^2)^64 ~= 0.93, and anything
+    scoring 0.25+ (every real link in the fixture data) at 0.98+. Round-1
+    shipped 16 bands x 4 rows (knee ~= 0.5), which silently blocked every
+    candidate below Jaccard 0.5 — the 0-row bug in CORRECTNESS_r01. Callers
+    that change ``threshold`` should re-derive (bands, rows) so the knee
+    stays below it.
+    """
     s_bands = minhash_bands(surfaces, surface_col, num_perm, bands, n).withColumnRenamed(
         "value", "surface"
     )

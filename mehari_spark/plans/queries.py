@@ -265,8 +265,23 @@ def kg_link_surface_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kg_link_lsh", None)  # hash-based blocking: rows-only; recall tested in pytest
+@register(
+    "kg_link_lsh",
+    # Same oracle as the exact path: with the band knee (0.125) below the
+    # query threshold (0.2), every true candidate collides in >=1 band on
+    # this data, and the exact-Jaccard re-rank then makes the LSH output
+    # identical to the exact linker (asserted at both sfs in pytest).
+    f"""WITH {_LINK_CTE}
+SELECT surface, entity_id::BIGINT AS entity_id FROM (
+  SELECT surface, entity_id,
+         ROW_NUMBER() OVER (PARTITION BY surface ORDER BY score DESC, entity_id) AS rn
+  FROM scored
+) WHERE rn = 1""",
+)
 def kg_link_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/J7 scale path: MinHash-LSH blocked linking (band equi-join ->
+    exact re-rank on candidates only), checked against the exact-Jaccard
+    oracle — blocking must not lose a single link at the registry threshold."""
     from ..dictionary import entity_df
     from ..operators.linking import link_lsh
 

@@ -96,6 +96,26 @@ class TestLinking:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.95, f"LSH link recall {recall:.3f}"
 
+    def test_registry_lsh_equals_exact_at_driver_sf(self, spark):
+        # kg_link_lsh carries the exact-path oracle, so blocking must not
+        # lose a single link at the driver's correctness sf (0.01) — this is
+        # the regression guard for the round-1 band-geometry bug (16x4 knee
+        # at ~0.5 silently dropped every candidate below Jaccard 0.5).
+        from mehari_spark.plans import queries as Q
+
+        from .conftest import SF_SMALL
+
+        exact = {
+            (r.surface, r.entity_id)
+            for r in Q.QUERIES["kg_link_surface_forms"][0](spark, SF_SMALL).collect()
+        }
+        lsh = {
+            (r.surface, r.entity_id)
+            for r in Q.QUERIES["kg_link_lsh"][0](spark, SF_SMALL).collect()
+        }
+        assert exact, "exact linker found nothing — fixture broken"
+        assert lsh == exact, f"LSH blocking lost links: {exact - lsh}"
+
     def test_exact_link_self_alias(self, spark):
         # an exact alias must link to its own entity with score 1.0
         surfaces = spark.createDataFrame([("spark",), ("customer",)], "surface string")

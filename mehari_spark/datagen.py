@@ -160,6 +160,39 @@ def reference_triples(
     return golden
 
 
+def reference_compounds(
+    golden: set[tuple[str, int, int, int, int]], min_parts: int = 2
+) -> set[tuple]:
+    """Pure-Python golden for the compound synthetic-record fold
+    (predict_multiple analog): group golden triples by (conv, subj); groups
+    with >= min_parts distinct (pred, obj) parts emit one merged record
+    (conv, subj, 1000, n_parts, min_obj, max_obj, first_turn, last_turn,
+    min_pred)."""
+    groups: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+    for conv, turn, subj, pred, obj in golden:
+        groups.setdefault((conv, subj), []).append((pred, obj, turn))
+    out: set[tuple] = set()
+    for (conv, subj), parts in groups.items():
+        distinct = {(p, o) for p, o, _t in parts}
+        if len(distinct) < min_parts:
+            continue
+        turns_ = [t for _p, _o, t in parts]
+        out.add(
+            (
+                conv,
+                subj,
+                1000,
+                len(distinct),
+                min(o for _p, o in distinct),
+                max(o for _p, o in distinct),
+                min(turns_),
+                max(turns_),
+                min(p for p, _o in distinct),
+            )
+        )
+    return out
+
+
 def turns_df(spark, turns: list[Turn]):
     from .schemas import TRANSCRIPTS_SCHEMA
 

@@ -98,6 +98,36 @@ def predicate_values_sql() -> str:
     return f"(VALUES {rows}) AS prd(surface, pred_id, rank, canon_id)"
 
 
+def entity_kb_sql() -> str:
+    """DuckDB inline VALUES: (entity_id, type) — the entity KB side table."""
+    rows = ", ".join(f"({i}, '{t}')" for _a, i, t in DEMO_ENTITIES)
+    return f"(VALUES {rows}) AS ekb(entity_id, type)"
+
+
+def predicate_kb_sql() -> str:
+    """DuckDB inline VALUES: (pred_id, surface, rank) for CANONICAL
+    predicates only (pred_id == canon_id), matching triples.pred_id."""
+    rows = ", ".join(
+        f"({p}, '{s}', {r})" for s, p, r, c in DEMO_PREDICATES if p == c
+    )
+    return f"(VALUES {rows}) AS pkb(pred_id, surface, rank)"
+
+
+def entity_kb_df(spark: SparkSession):
+    """(entity_id, type) KB side table as a broadcastable DataFrame."""
+    return spark.createDataFrame(
+        [(i, t) for _a, i, t in DEMO_ENTITIES], "entity_id long, type string"
+    )
+
+
+def predicate_kb_df(spark: SparkSession):
+    """Canonical-predicate KB: (pred_id, surface, rank)."""
+    return spark.createDataFrame(
+        [(p, s, r) for s, p, r, c in DEMO_PREDICATES if p == c],
+        "pred_id long, surface string, rank int",
+    )
+
+
 def entity_df(spark: SparkSession):
     """Entity dictionary as a (broadcastable) DataFrame."""
     return spark.createDataFrame(

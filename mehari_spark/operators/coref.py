@@ -83,9 +83,15 @@ def coref_clusters(triples: DataFrame) -> DataFrame:
 
 
 def connected_components_global(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
-) -> DataFrame:
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    with_rounds: bool = False,
+):
     """Generic CC over (src, dst) long ids -> (node, component).
+    With ``with_rounds=True`` returns (labels, n_rounds) so callers/tests can
+    assert the O(log n) convergence bound.
 
     Min-label propagation with pointer jumping: each round every node takes
     min(own label, neighbors' labels), then follows label->label one hop
@@ -107,7 +113,9 @@ def connected_components_global(
         .localCheckpoint(eager=True)
     )
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # 1) neighbor-min: cand(v) = min label among v and its neighbors
         nbr = (
             sym.join(
@@ -140,4 +148,5 @@ def connected_components_global(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+    out = labels.select(F.col("node"), F.col("label").alias("component"))
+    return (out, rounds) if with_rounds else out

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..dictionary import DictPattern
 from ..operators.coref import coref_clusters
+from ..operators.enrich import enrich_triples
 from ..operators.mentions import detect_mentions, resolve_overlaps
 from ..operators.triples import assemble_triples, extract_triples_fused
 from .lineage import write_bucketed, write_metrics
@@ -71,6 +72,8 @@ def run_pipeline(
     n_buckets: int = 8,
     fail_after: int | None = None,
     mode: str = "fused",
+    entity_kb: DataFrame | None = None,
+    predicate_kb: DataFrame | None = None,
 ) -> dict:
     """Full pipeline; returns a metrics dict. Re-running with the same
     out_dir resumes from per-bucket checkpoints.
@@ -78,7 +81,13 @@ def run_pipeline(
     ``mode='fused'`` runs the whole per-turn kernel inside the scan (zero
     mention shuffles — the mehari execution shape); ``mode='windowed'`` is
     the declarative window-based plan (same results, used by the
-    oracle-checked queries)."""
+    oracle-checked queries).
+
+    When ``entity_kb`` (entity_id, type) and ``predicate_kb`` (pred_id,
+    surface, rank) are given, the annotator chain (enrich_triples — the
+    setup_seqvars_annotator analog, mod.rs:1162-1312) broadcast-joins them
+    onto the triples before the bucketed write, so the materialized table
+    carries KB annotations exactly like mehari's annotated VCF output."""
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
 
@@ -93,6 +102,8 @@ def run_pipeline(
         ordered = partition_for_scan(transcripts, n_partitions=n_partitions)
         mentions = resolve_overlaps(detect_mentions(ordered, patterns))
         triples = assemble_triples(mentions)
+    if entity_kb is not None and predicate_kb is not None:
+        triples = enrich_triples(triples, entity_kb, predicate_kb)
     # lineage struct rides with every materialized row (report.jsonl analog)
     triples = triples.withColumn(
         "lineage",

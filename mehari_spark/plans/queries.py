@@ -22,7 +22,9 @@ from pyspark.sql import Window as W
 
 from ..dictionary import (
     demo_patterns,
+    entity_kb_sql,
     entity_values_sql,
+    predicate_kb_sql,
     predicate_values_sql,
 )
 from ..operators.mentions import detect_mentions
@@ -361,6 +363,51 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")) >= 0.95)
         .select("doc_a", "doc_b", "ni", "na", "nb")
+    )
+
+
+@register(
+    "doc_dedup_clusters",
+    """WITH RECURSIVE t AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+posts AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+sizes AS (SELECT doc_id, len(toks) AS n_toks FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+  FROM posts a JOIN posts b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(ni AS DOUBLE) / (sa.n_toks + sb.n_toks - ni) >= 0.95
+),
+bidir AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT doc_id AS node FROM documents),
+reach AS (
+  SELECT node, node AS root FROM nodes
+  UNION
+  SELECT b.v AS node, r.root FROM reach r JOIN bidir b ON b.u = r.node
+)
+SELECT node AS doc_id, MIN(root)::BIGINT AS component_id FROM reach GROUP BY node""",
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 global form (SV cluster merge, strucvars/mod.rs:3189-3290): exact
+    near-dup pairs (Jaccard >= 0.95) as a CROSS-PARTITION edge set, clustered
+    with the alternating min-label + pointer-jumping CC (O(log n) rounds,
+    each round joins/aggs on node id — no driver-side graph). Singleton docs
+    label themselves. Oracle: recursive-CTE reachability in DuckDB."""
+    from ..operators.coref import connected_components_global
+
+    pairs = QUERIES["doc_jaccard_pairs"][0](spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components_global(pairs, src="doc_a", dst="doc_b")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component_id"),
     )
 
 
@@ -1014,25 +1061,145 @@ def kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_triples_enriched",
+    f"""WITH {_TRIPLES_CTE},
+ekb AS (SELECT * FROM {entity_kb_sql()}),
+pkb AS (SELECT * FROM {predicate_kb_sql()}),
+freq AS (SELECT subj_id, COUNT(*)::BIGINT AS subj_freq FROM triples GROUP BY subj_id)
+SELECT t.conv_id, t.turn_idx, t.subj_id, t.pred_id, t.obj_id,
+       es.type AS subj_type, eo.type AS obj_type,
+       p.surface AS pred_surface, p.rank::INTEGER AS pred_rank,
+       f.subj_freq
+FROM triples t
+LEFT JOIN ekb es ON t.subj_id = es.entity_id
+LEFT JOIN ekb eo ON t.obj_id = eo.entity_id
+LEFT JOIN pkb p ON t.pred_id = p.pred_id
+LEFT JOIN freq f ON t.subj_id = f.subj_id""",
+)
+def kg_triples_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The annotator-chain analog (setup_seqvars_annotator, reference
+    mod.rs:1162-1312; KB lookups frequency.rs:105-123, clinvar.rs:79-91):
+    three broadcast left-joins of KB side tables (entity types for subj and
+    obj, canonical-predicate ontology) plus a computed frequency KB joined
+    back — all BroadcastHashJoins on the fact stream, zero fact shuffles."""
+    from ..dictionary import entity_kb_df, predicate_kb_df
+    from ..operators.enrich import enrich_triples
+    from ..operators.triples import extract_triples_fused
+
+    t = extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
+    out = enrich_triples(
+        t.select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"),
+        entity_kb_df(spark),
+        predicate_kb_df(spark),
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "subj_id",
+        "pred_id",
+        "obj_id",
+        "subj_type",
+        "obj_type",
+        "pred_surface",
+        "pred_rank",
+        "subj_freq",
+    )
+
+
+@register(
+    "kg_compound_triples",
+    f"""WITH {_TRIPLES_CTE},
+parts AS (SELECT conv_id, subj_id, pred_id, obj_id, turn_idx FROM triples),
+g AS (
+  SELECT conv_id, subj_id,
+         COUNT(DISTINCT (pred_id, obj_id))::BIGINT AS n_parts,
+         MIN(obj_id)::BIGINT AS min_obj, MAX(obj_id)::BIGINT AS max_obj,
+         MIN(turn_idx)::INTEGER AS first_turn, MAX(turn_idx)::INTEGER AS last_turn,
+         MIN(pred_id)::BIGINT AS min_pred
+  FROM parts GROUP BY conv_id, subj_id HAVING COUNT(DISTINCT (pred_id, obj_id)) >= 2
+)
+SELECT conv_id, subj_id, 1000::BIGINT AS pred_id, n_parts,
+       min_obj, max_obj, first_turn, last_turn, min_pred
+FROM g""",
+)
+def kg_compound_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/X4 analog (predict_multiple, logic.rs:1990-2133): fold each
+    (conv, subj) phase group with >= 2 distinct (pred, obj) parts into ONE
+    synthetic compound record via the grouped Arrow kernel. Cross-asserted
+    against the declarative groupBy+HAVING plan and the pure-Python golden
+    in pytest; the DuckDB oracle is the declarative shape."""
+    from ..operators.compound import compound_triples
+    from ..operators.triples import extract_triples_fused
+
+    t = extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
+    return compound_triples(
+        t.select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id")
+    )
+
+
+@register(
     "kg_verify_engines",
-    f"""WITH {_TRIPLES_CTE}
-SELECT COUNT(*)::BIGINT AS n_ok, 0::BIGINT AS n_pred_mismatch,
-       0::BIGINT AS n_missing, 0::BIGINT AS n_extra,
-       1.0::DOUBLE AS precision, 1.0::DOUBLE AS recall
-FROM triples""",
+    # The got side is an INTENTIONALLY perturbed copy of the engine output
+    # (k = (turn_idx+subj_id+obj_id)%10: k=0 dropped, k=1 predicate bumped,
+    # k=2 duplicated with an out-of-dictionary object), so every
+    # classification class has a nonzero count and the oracle actually
+    # exercises the full-outer classification join — not a constant.
+    f"""WITH {_TRIPLES_CTE},
+keyed AS (
+  SELECT *, (turn_idx + subj_id + obj_id) % 10 AS k FROM triples
+),
+agg AS (
+  SELECT SUM(CASE WHEN k NOT IN (0, 1) THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+         SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pred_mismatch,
+         SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+         SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END)::BIGINT AS n_extra
+  FROM keyed
+)
+SELECT n_ok, n_pred_mismatch, n_missing, n_extra,
+       (n_ok * 1000000) // (n_ok + n_pred_mismatch + n_extra) AS precision_ppm,
+       (n_ok * 1000000) // (n_ok + n_pred_mismatch + n_missing) AS recall_ppm
+FROM agg""",
 )
 def kg_verify_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11 analog (verify seqvars): full-outer classification join between
-    the fused production engine and the windowed reference plan — the P/R
-    harness as a distributed operator. Oracle: the two engines are
-    interchangeable, so everything classifies ok with P = R = 1.0."""
+    """J11 analog (verify seqvars, verify/seqvars.rs:201-352): full-outer
+    classification join between a deterministically perturbed copy of the
+    fused engine output and the windowed reference plan. The perturbation
+    (drop / predicate-bump / inject-extra on a hash of the triple key) makes
+    every class — ok, pred_mismatch, missing, extra — nonzero, so the
+    DuckDB oracle catches a broken classify_triples, unlike a constant
+    P=R=1.0 check. P/R are emitted as integer ppm (floor) so the value hash
+    is float-rounding-proof across engines."""
     from ..operators.triples import extract_triples_fused
     from ..operators.verify_join import verify_summary
 
     t = transcripts(spark, sf_dir)
-    fused = extract_triples_fused(t, demo_patterns())
-    windowed = assemble_triples(detect_mentions(t, demo_patterns()))
-    return verify_summary(fused, windowed)
+    fused = extract_triples_fused(t, demo_patterns()).select(
+        "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
+    )
+    k = F.pmod(F.col("turn_idx") + F.col("subj_id") + F.col("obj_id"), F.lit(10))
+    base = fused.withColumn("k", k)
+    got = base.filter(F.col("k") != 0).withColumn(
+        "pred_id",
+        F.when(F.col("k") == 1, F.col("pred_id") + 1).otherwise(F.col("pred_id")),
+    )
+    extra = base.filter(F.col("k") == 2).withColumn(
+        "obj_id", F.col("obj_id") + 1000
+    )
+    perturbed = got.drop("k").unionByName(extra.drop("k"))
+    expected = assemble_triples(detect_mentions(t, demo_patterns())).select(
+        "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
+    )
+    s = verify_summary(perturbed, expected)
+    prec_den = F.col("n_ok") + F.col("n_pred_mismatch") + F.col("n_extra")
+    rec_den = F.col("n_ok") + F.col("n_pred_mismatch") + F.col("n_missing")
+    return s.select(
+        "n_ok",
+        "n_pred_mismatch",
+        "n_missing",
+        "n_extra",
+        F.floor(F.col("n_ok") * 1000000 / prec_den).alias("precision_ppm"),
+        F.floor(F.col("n_ok") * 1000000 / rec_den).alias("recall_ppm"),
+    )
 
 
 @register(

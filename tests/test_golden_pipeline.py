@@ -121,6 +121,21 @@ class TestGlobalCC:
         out = connected_components_global(edges)
         assert out.select("component").distinct().count() == 1
 
+    def test_path_graph_logn_rounds(self, spark):
+        # the O(log n) bound (Kiveris et al., SoCC'14): a 128-node path needs
+        # 127 rounds under naive one-hop label propagation; pointer jumping
+        # must converge in ~log2(128)+slack rounds
+        n = 128
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        labels, rounds = connected_components_global(
+            edges, max_iter=40, with_rounds=True
+        )
+        comps = {r.component for r in labels.collect()}
+        assert comps == {0}
+        assert rounds <= 14, f"pointer jumping broken: {rounds} rounds for n={n}"
+
 
 class TestResume:
     def test_kill_restart_identical(self, spark, turns, tmp_path):

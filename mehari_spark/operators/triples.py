@@ -32,12 +32,17 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         F.when(F.col("kind") == "P", F.col("canon_id")).alias("p_canon"),
         F.when(F.col("kind") == "P", F.col("rank")).alias("p_rank"),
     )
+    # RANGE (not ROWS) frames: an entity mention at the SAME pos as the
+    # predicate (ambiguous surfaces acting as both E and P) must count as
+    # neither subj ("strictly before") nor obj ("strictly after") — ROWS
+    # frames would make the outcome depend on nondeterministic tie order
+    # between equal-pos rows (golden rule: datagen.reference_triples).
     w = W.partitionBy("conv_id", "turn_idx").orderBy("pos")
     subj = F.last("entity_id", ignorenulls=True).over(
-        w.rowsBetween(W.unboundedPreceding, -1)
+        w.rangeBetween(W.unboundedPreceding, -1)
     )
     obj = F.first("entity_id", ignorenulls=True).over(
-        w.rowsBetween(1, W.unboundedFollowing)
+        w.rangeBetween(1, W.unboundedFollowing)
     )
     cand = (
         seq.withColumn("subj_id", subj)
@@ -268,11 +273,16 @@ def extract_triples_fused(
 
                 cand = []
                 for pi, pat in prds:
-                    i = bisect.bisect_left(epos, pi)
-                    if i == 0 or i == len(epos):
+                    # strictly-before / strictly-after: an entity co-located
+                    # with the predicate (same pos, ambiguous surface) is
+                    # neither subj nor obj — matches the golden rule and the
+                    # RANGE-framed windowed plan
+                    i_before = bisect.bisect_left(epos, pi)
+                    i_after = bisect.bisect_right(epos, pi)
+                    if i_before == 0 or i_after == len(epos):
                         continue
-                    subj = ents[i - 1][2].ref_id
-                    obj = ents[i][2].ref_id
+                    subj = ents[i_before - 1][2].ref_id
+                    obj = ents[i_after][2].ref_id
                     cand.append((subj, obj, pat.rank, pat.canon_id, pi))
                 best: dict[tuple[int, int], tuple[int, int, int]] = {}
                 for subj, obj, rank, canon, pi in cand:

@@ -36,16 +36,48 @@ def _ckpt_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_checkpoints.jsonl")
 
 
-def load_committed(out_dir: str, run_scope: str = "") -> set[int]:
-    """Buckets already committed by ANY previous run of this output."""
+def load_committed(
+    out_dir: str,
+    run_scope: str = "",
+    n_buckets: int | None = None,
+    key_col: str | None = None,
+) -> set[int]:
+    """Buckets already committed by ANY previous run of this output.
+
+    When ``n_buckets``/``key_col`` are given, every committed record that
+    carries them must agree — resuming the same out_dir under a different
+    bucketing modulus or key would silently skip buckets whose contents
+    hash differently, corrupting the table (duplicate + missing rows), so
+    we fail fast instead."""
     path = _ckpt_path(out_dir)
     done: set[int] = set()
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec.get("status") == "committed":
-                    done.add(int(rec["bucket"]))
+                if rec.get("status") != "committed":
+                    continue
+                if (
+                    n_buckets is not None
+                    and "n_buckets" in rec
+                    and int(rec["n_buckets"]) != n_buckets
+                ):
+                    raise ValueError(
+                        f"checkpoint bucketing mismatch in {out_dir}: committed "
+                        f"with n_buckets={rec['n_buckets']}, resume requested "
+                        f"n_buckets={n_buckets}"
+                    )
+                if (
+                    key_col is not None
+                    and "key_col" in rec
+                    and rec["key_col"] != key_col
+                ):
+                    raise ValueError(
+                        f"checkpoint key mismatch in {out_dir}: committed with "
+                        f"key_col={rec['key_col']!r}, resume requested "
+                        f"key_col={key_col!r}"
+                    )
+                done.add(int(rec["bucket"]))
     return done
 
 
@@ -79,7 +111,7 @@ def write_bucketed(
     commits (the kill/restart test from BASELINE.md).
     """
     spark = df.sparkSession
-    committed = load_committed(out_dir)
+    committed = load_committed(out_dir, n_buckets=n_buckets, key_col=key_col)
     remaining = [b for b in range(n_buckets) if b not in committed]
     results: list[BucketResult] = [BucketResult(b, 0, True, 0.0) for b in committed]
     if not remaining:
@@ -103,14 +135,18 @@ def write_bucketed(
     )
     stage_elapsed = time.time() - t0
 
-    # one footer-level job for all bucket row counts (not one per bucket)
-    counts = {
-        int(r["_bucket"]): r["cnt"]
-        for r in spark.read.parquet(staging)
-        .groupBy("_bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    # one footer-level job for all bucket row counts (not one per bucket).
+    # A fully-filtered input writes NO _bucket=* dirs — parquet can't infer
+    # a schema from an empty dir, so guard and commit zero-row checkpoints.
+    counts: dict[int, int] = {}
+    if _glob.glob(os.path.join(staging, "_bucket=*")):
+        counts = {
+            int(r["_bucket"]): r["cnt"]
+            for r in spark.read.parquet(staging)
+            .groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
 
     n_done = 0
     try:
@@ -131,6 +167,8 @@ def write_bucketed(
                     "status": "committed",
                     "rows_out": rows,
                     "stage": stage,
+                    "n_buckets": n_buckets,
+                    "key_col": key_col,
                     "committed_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                     ),

@@ -41,21 +41,30 @@ def partition_for_scan(
     """Repartition by hash(conv_id) (+salt for hot conversations), restore
     (conv_id, turn_idx) order within partitions.
 
-    Salting (north_rule P15): conversations with > hot_threshold turns get a
-    per-turn salt so one conv can't pin a partition; the mention scan is
-    per-turn so salting is transparent to it. Downstream per-conv stages
-    re-shuffle on conv_id where needed (windows do their own partitioning).
+    Salting (north_rule P15): hot conversations are DETECTED with a cheap
+    map-side-combined count over conv_id only (column-pruned scan — no text
+    bytes move), broadcast back, and EVERY row of a hot conversation gets a
+    per-turn salt so no prefix of it can pin a partition (round 1 salted
+    only rows with turn_idx > threshold, which left the first `threshold`
+    turns on one partition — ADVICE r01). The mention scan is per-turn so
+    salting is transparent to it; downstream per-conv stages re-shuffle on
+    conv_id themselves (windows/groupBys do their own partitioning).
     """
     if salt_hot:
-        # a cheap per-turn salt derived from turn_idx keeps hot convs spread;
-        # cold convs (the common case) keep salt 0 via the modulo guard
-        salt = F.when(
-            F.col("turn_idx") > hot_threshold,
-            F.pmod(F.col("turn_idx"), F.lit(16)),
-        ).otherwise(F.lit(0))
-        df = transcripts.withColumn("_salt", salt)
+        hot = (
+            transcripts.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("_n_turns"))
+            .filter(F.col("_n_turns") > hot_threshold)
+            .select("conv_id", F.lit(True).alias("_hot"))
+        )
+        df = transcripts.join(F.broadcast(hot), "conv_id", "left").withColumn(
+            "_salt",
+            F.when(F.col("_hot"), F.pmod(F.col("turn_idx"), F.lit(16))).otherwise(
+                F.lit(0)
+            ),
+        )
         out = df.repartition(n_partitions, F.col("conv_id"), F.col("_salt")).drop(
-            "_salt"
+            "_salt", "_hot"
         )
     else:
         out = transcripts.repartition(n_partitions, F.col("conv_id"))

@@ -74,8 +74,8 @@ seq AS (
 ),
 wnd AS (
   SELECT *,
-    LAST_VALUE(entity_id IGNORE NULLS) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS subj_id,
-    FIRST_VALUE(entity_id IGNORE NULLS) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS obj_id
+    LAST_VALUE(entity_id IGNORE NULLS) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS subj_id,
+    FIRST_VALUE(entity_id IGNORE NULLS) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS obj_id
   FROM seq
 ),
 cand AS (
@@ -811,6 +811,56 @@ def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_range_join",
+    # epoch_ms // 1000 (floor) mirrors Spark's unix_timestamp; a bare
+    # epoch(ts)::BIGINT would ROUND the fractional second and shift
+    # boundary events across the window edge
+    """WITH promos AS (
+  SELECT event_id AS promo_id,
+         (epoch_ms(ts) // 1000) AS p_start, (epoch_ms(ts) // 1000) + 3600 AS p_end
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn <= 100
+)
+SELECT promo_id, COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS value_c
+FROM promos p JOIN events e
+  ON (epoch_ms(e.ts) // 1000) >= p.p_start AND (epoch_ms(e.ts) // 1000) < p.p_end
+GROUP BY promo_id""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 analog (interval query, provider.rs:795-843 + maelstrom range
+    aggregation, maelstrom.rs:75-120): events falling inside the hour after
+    each of the top-100 purchases ('promo windows'), joined via the
+    bin-bucketed range join — a hash join on the UCSC bin key, never a
+    BroadcastNestedLoopJoin (plan-asserted in pytest)."""
+    from ..operators.rangejoin import range_join_points
+
+    _ANCHOR = 1704067200  # 2024-01-01, keeps coordinates < 2^29 (scheme span)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "p", F.unix_timestamp(F.col("ts").cast("timestamp")) - F.lit(_ANCHOR)
+    )
+    w = W.orderBy(F.desc("value"), F.asc("event_id"))
+    promos = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select(
+            F.col("event_id").alias("promo_id"),
+            F.col("p").alias("p_start"),
+            (F.col("p") + 3600).alias("p_end"),
+        )
+    )
+    points = ev.select("p", "value")
+    joined = range_join_points(points, promos, "p", "p_start", "p_end")
+    return joined.groupBy("promo_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+    )
+
+
+@register(
     "set_ops_customers",
     """SELECT c_custkey, 'inactive' AS tag FROM (
   SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
@@ -1016,6 +1066,44 @@ def doc_token_len_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_tok_len"
         ),
         F.array_max(lens).alias("max_tok_len"),
+    )
+
+
+@register(
+    "doc_suffix_fold",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+  len(toks)::BIGINT - coalesce(list_max(list_filter(
+    list_transform(toks, (x, i) -> CASE WHEN length(x) >= 4 THEN i ELSE NULL END),
+    v -> v IS NOT NULL)), 0) AS n_trailing_short
+FROM t""",
+)
+def doc_suffix_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 analog (right-to-left ordered fold — mehari applies HGVS edits
+    right-to-left, logic.rs shifting/normalization): fold the token array
+    from the END, counting the maximal all-short suffix, with an early-stop
+    accumulator — order-dependent, so it is a true fold, not a commutative
+    aggregate. Stays in Catalyst (F.aggregate over reverse), zero UDFs."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    zero = F.struct(
+        F.lit(False).alias("stop"), F.lit(0).cast("long").alias("cnt")
+    )
+    fold = F.aggregate(
+        F.reverse(toks),
+        zero,
+        lambda acc, t: F.struct(
+            (acc.stop | (F.length(t) >= 4)).alias("stop"),
+            F.when(acc.stop | (F.length(t) >= 4), acc.cnt)
+            .otherwise(acc.cnt + 1)
+            .alias("cnt"),
+        ),
+        lambda acc: acc.cnt,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        fold.alias("n_trailing_short"),
     )
 
 

@@ -204,3 +204,12 @@ class TestSkewSalting:
         nonempty = [r["count"] for r in sizes]
         assert len(nonempty) >= 4, f"hot conv pinned to {len(nonempty)} partition(s)"
         assert max(nonempty) < 40000  # not all rows in one partition
+        # the FIRST <threshold turns must also spread (round-1 bug: salting
+        # keyed on the row's turn_idx left the prefix on one partition)
+        prefix_parts = (
+            out.filter(F.col("turn_idx") < 1000)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        assert prefix_parts >= 4, f"hot-conv prefix pinned to {prefix_parts} partition(s)"

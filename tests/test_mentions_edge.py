@@ -39,3 +39,42 @@ def test_vectorized_equals_ac_path(spark):
     assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
         map(tuple, ac.select(cols).collect())
     )
+
+
+def test_colocated_entity_predicate_tie_rule(spark):
+    # ambiguous surface 'x' registered as BOTH entity and predicate: the
+    # co-located entity mention must count as neither subj (strictly
+    # before) nor obj (strictly after) — windowed plan, fused kernel, and
+    # the pure-python golden must agree (ADVICE r01 tie-order finding)
+    from mehari_spark.datagen import Turn, reference_triples, turns_df
+    from mehari_spark.operators.mentions import resolve_overlaps
+    from mehari_spark.operators.triples import assemble_triples, extract_triples_fused
+    from datetime import datetime
+
+    pats = [
+        DictPattern(("alice",), "E", 1, 1, 0),
+        DictPattern(("bob",), "E", 2, 2, 0),
+        DictPattern(("x",), "E", 3, 3, 0),
+        DictPattern(("x",), "P", 301, 301, 1),
+        DictPattern(("uses",), "P", 302, 302, 2),
+    ]
+    turns = [
+        Turn("c", 0, "user", "alice x bob", None, datetime(2024, 1, 1)),
+        Turn("c", 1, "user", "x uses bob", None, datetime(2024, 1, 1)),
+        Turn("c", 2, "user", "alice uses x", None, datetime(2024, 1, 1)),
+    ]
+    golden = reference_triples(turns, pats)
+    df = turns_df(spark, turns)
+    windowed = {
+        (r.conv_id, r.turn_idx, r.subj_id, r.pred_id, r.obj_id)
+        for r in assemble_triples(
+            resolve_overlaps(detect_mentions(df, pats))
+        ).collect()
+    }
+    fused = {
+        (r.conv_id, r.turn_idx, r.subj_id, r.pred_id, r.obj_id)
+        for r in extract_triples_fused(df, pats).collect()
+    }
+    # turn 0: co-located E/P at pos 1 -> subj=alice, obj=bob via pred 'x'
+    assert ("c", 0, 1, 301, 2) in golden
+    assert golden == windowed == fused

@@ -47,3 +47,25 @@ class TestStreaming:
         # no duplicate rows from reprocessing already-committed files
         total = spark.read.parquet(out_dir).count()
         assert total == len(golden)
+
+    def test_retried_epoch_is_idempotent(self, spark, tmp_path):
+        # a driver crash AFTER the sink write but BEFORE the epoch commits to
+        # checkpointLocation makes Structured Streaming re-run the SAME
+        # epoch_id on restart; the epoch-keyed overwrite must not duplicate.
+        from mehari_spark.streaming.stream_pipeline import write_epoch
+
+        turns = synth_transcripts(seed=11, n_convs=5, turns_per_conv=4)
+        from mehari_spark.operators.triples import extract_triples_fused
+
+        triples = extract_triples_fused(
+            turns_df(spark, turns), fixture_patterns()
+        )
+        out_dir = str(tmp_path / "epochs")
+        write_epoch(triples, 7, out_dir)          # first (uncommitted) attempt
+        first = spark.read.parquet(out_dir).count()
+        write_epoch(triples, 7, out_dir)          # the retry after the crash
+        assert spark.read.parquet(out_dir).count() == first
+        # a partial first attempt is also repaired, not merged
+        write_epoch(triples.limit(1), 8, out_dir)  # "partial" epoch 8
+        write_epoch(triples, 8, out_dir)           # full retry of epoch 8
+        assert spark.read.parquet(out_dir).count() == 2 * first

@@ -20,20 +20,27 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-# headline queries: the flagship KG path + the scale-relevant analytics ops
+# headline queries: the flagship KG path + the scale-relevant analytics ops.
+# Every entry is the PRODUCTION (scale-safe) variant: doc_jaccard_pairs (the
+# deliberately-quadratic exact reference) was demoted in round 2 to an
+# oracle-validation query — its headline slot is the sub-quadratic
+# LSH pair + clustering path it validates.
 HEADLINE = [
     "kg_transcripts",
     "kg_entity_mentions",
     "kg_triples",
     "kg_triples_fused",
     "kg_coref_clusters",
-    "doc_jaccard_pairs",
+    "kg_triples_enriched",
+    "kg_compound_triples",
     "doc_minhash_pairs",
+    "doc_dedup_clusters_lsh",
     "doc_token_topk",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_volume",
     "events_sessions",
+    "events_range_join",
     "emb_cosine_topk",
 ]
 
@@ -49,10 +56,23 @@ def main() -> None:
     spark = get_spark("mehari-spark-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: spin up the Python worker pool, JIT/codegen and the
+    # parquet reader once, so the first headline query measures steady-state
+    # work instead of session bring-up
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(256).mapInPandas(
+        lambda it: it, schema="doc_id long, text string"
+    ).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn, _oracle = QUERIES[name]
+        # time construction + execution: iterative operators (global CC)
+        # materialize eager checkpoints while the plan is BUILT, so timing
+        # only the count would hide their real cost
+        t0 = time.time()
         df = fn(spark, sf_dir)
         if explain:
             import contextlib
@@ -64,7 +84,6 @@ def main() -> None:
                 df.explain("formatted")
             with open(f"BENCH/plans/{name}.txt", "w") as f:
                 f.write(buf.getvalue())
-        t0 = time.time()
         n = df.count()
         dt = time.time() - t0
         timings[name] = round(dt, 3)

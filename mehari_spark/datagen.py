@@ -160,6 +160,56 @@ def reference_triples(
     return golden
 
 
+def big_dictionary(
+    vocab: list[str],
+    n_aliases: int,
+    seed: int = 13,
+    predicates: list[tuple[str, int, int, int]] | None = None,
+) -> list[DictPattern]:
+    """Deterministic large dictionary for the Aho-Corasick path at scale
+    (mehari's dictionary is ~250k transcripts, txs.proto:220-229).
+
+    Aliases are 2/3/4-token sequences over ``vocab`` — heavily ambiguous
+    (every 2-combo is a prefix of many 3-combos, so AC failure links and
+    multi-output states are exercised constantly) and guaranteed to HIT in
+    text drawn from the same vocabulary. 4-token combos are hash-thinned
+    to land exactly at n_aliases. Entity ids are the enumeration index; a
+    small single-token predicate set rides along so triples still form.
+    """
+    from itertools import product
+
+    pats: list[DictPattern] = []
+    eid = 10_000  # clear of demo/fixture id spaces
+    for L in (2, 3):
+        for combo in product(vocab, repeat=L):
+            if len(pats) >= n_aliases:
+                break
+            pats.append(DictPattern(tuple(combo), "E", eid, eid, 0))
+            eid += 1
+    if len(pats) < n_aliases:
+        need = n_aliases - len(pats)
+        total4 = len(vocab) ** 4
+        keep_mod = max(1, total4 // need)
+        h = seed
+        for combo in product(vocab, repeat=4):
+            # cheap deterministic LCG over the enumeration index
+            h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            if h % keep_mod == 0:
+                pats.append(DictPattern(tuple(combo), "E", eid, eid, 0))
+                eid += 1
+                if len(pats) >= n_aliases:
+                    break
+    preds = predicates or [
+        ("uses", 201, 1, 201),
+        ("asks", 203, 3, 203),
+        ("builds", 204, 4, 204),
+    ]
+    pats += [
+        DictPattern((s,), "P", pid, canon, rank) for s, pid, rank, canon in preds
+    ]
+    return pats
+
+
 def reference_compounds(
     golden: set[tuple[str, int, int, int, int]], min_parts: int = 2
 ) -> set[tuple]:

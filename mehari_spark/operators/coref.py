@@ -100,10 +100,17 @@ def connected_components_global(
     id, expressed as joins/aggs so Catalyst/AQE handle skew. Iteration state
     is localCheckpoint'ed to cut the growing lineage.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # materialize the (possibly expensive) upstream edge pipeline ONCE
+    # before mirroring — a union of two selects over the same lineage would
+    # execute the whole upstream plan twice in one job
+    ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = (
+        ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))
@@ -138,15 +145,17 @@ def connected_components_global(
             "node", F.least(F.col("label"), F.coalesce("jumped", "label")).alias("label")
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("label"))
-            .limit(1)
-            .count()
-        )
+        # convergence check without a join: labels are monotone
+        # non-increasing (every update is a least()), so sum(label) is
+        # strictly smaller iff ANY label changed — one cheap agg over the
+        # just-checkpointed data instead of a join + count job per round
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        prev_sum = getattr(labels, "_cc_sum", None)
+        if prev_sum is None:
+            prev_sum = labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        labels._cc_sum = new_sum
+        if new_sum == prev_sum:
             break
     out = labels.select(F.col("node"), F.col("label").alias("component"))
     return (out, rounds) if with_rounds else out

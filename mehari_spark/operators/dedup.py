@@ -103,7 +103,7 @@ def _minhash_rows(
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.95,
-    num_perm: int = 64,
+    num_perm: int = 128,
     bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -113,9 +113,13 @@ def minhash_lsh_pairs(
     re-rank keeps precision at 1.0, so recall vs ngram_jaccard_pairs is the
     only LSH-tunable (tested >= 0.95 in tests/test_dedup_similarity.py).
 
-    Band geometry: bands=8 x rows=8 puts the S-curve knee near s~0.85
-    (P(collide)=0.9998 at s=0.95, 0.006 at s=0.5) — selective enough that a
-    corpus of broadly-similar documents doesn't degenerate to all-pairs.
+    Band geometry: bands=8 x rows=16 puts the S-curve knee at
+    (1/8)^(1/16) ~ 0.878 (P(collide) = 0.99 at s=0.95, 0.20 at s=0.80,
+    0.026 at s=0.70). The corpus is adversarially similar (token-set
+    Jaccard 0.5-0.9 between most same-vocab documents), so the flatter
+    8x8 knee (~0.85) admitted ~40% of ALL pairs as candidates at sf0.1;
+    16 rows/band cuts mid-similarity collisions ~5x at the same >=0.95
+    recall for true near-dups.
     """
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -143,6 +147,12 @@ def minhash_lsh_pairs(
     inter = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
         .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
+        # size prefilter: J(a,b) <= min/max, so |toks| differing by more
+        # than the threshold ratio can never pass — skip the intersect
+        .filter(
+            F.least(F.size("toks_a"), F.size("toks_b"))
+            >= threshold * F.greatest(F.size("toks_a"), F.size("toks_b"))
+        )
         .select(
             "doc_a",
             "doc_b",

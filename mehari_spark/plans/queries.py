@@ -418,6 +418,28 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.95)
 
 
+@register("doc_dedup_clusters_lsh", None)  # LSH edges: rows-only; recall in pytest
+def doc_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup-clustering path: MinHash-LSH candidate pairs
+    (sub-quadratic blocking) -> global pointer-jumping CC. Same plan shape
+    as doc_dedup_clusters but with the scale-safe edge generator; pytest
+    asserts every exact-path cluster co-assignment is preserved."""
+    from ..operators.coref import connected_components_global
+    from ..operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.95
+    ).select("doc_a", "doc_b")
+    comps = connected_components_global(pairs, src="doc_a", dst="doc_b")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component_id"),
+    )
+
+
 @register("doc_simhash_pairs", None)  # hash fingerprints: rows-only
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_candidate_pairs

@@ -123,3 +123,33 @@ class TestLinking:
                link_exact_jaccard(surfaces, entity_df(spark), threshold=0.2).collect()}
         assert out["spark"] == (1, 1.0)
         assert out["customer"] == (2, 1.0)
+
+
+class TestDedupClustering:
+    def test_lsh_clusters_preserve_exact_coassignments(self, spark):
+        # production path (LSH edges -> CC) must keep >=95% of the exact
+        # path's same-cluster pairs (recall discipline of the pair stage
+        # carried through the clustering stage)
+        from mehari_spark.plans import queries as Q
+
+        from .conftest import SF_UNIT
+
+        exact = {
+            r.doc_id: r.component_id
+            for r in Q.QUERIES["doc_dedup_clusters"][0](spark, SF_UNIT).collect()
+        }
+        lsh = {
+            r.doc_id: r.component_id
+            for r in Q.QUERIES["doc_dedup_clusters_lsh"][0](spark, SF_UNIT).collect()
+        }
+        assert set(exact) == set(lsh)  # every doc labeled in both
+        exact_pairs = {
+            (a, b)
+            for a in exact
+            for b in exact
+            if a < b and exact[a] == exact[b]
+        }
+        assert exact_pairs, "exact path found no co-clustered docs"
+        kept = sum(1 for a, b in exact_pairs if lsh[a] == lsh[b])
+        recall = kept / len(exact_pairs)
+        assert recall >= 0.95, f"cluster co-assignment recall {recall:.3f}"

@@ -57,9 +57,13 @@ def partition_for_scan(
             .filter(F.col("_n_turns") > hot_threshold)
             .select("conv_id", F.lit(True).alias("_hot"))
         )
+        # 64 salt buckets: with B buckets hashed over P partitions the
+        # loaded-partition max is ~(B/P + sqrt-collisions) buckets; 16 over
+        # 32 measured a 260k-row max (4 colliding buckets) on a 1M-turn hot
+        # conv, 64 measures ~2x flatter (bench_skew.py)
         df = transcripts.join(F.broadcast(hot), "conv_id", "left").withColumn(
             "_salt",
-            F.when(F.col("_hot"), F.pmod(F.col("turn_idx"), F.lit(16))).otherwise(
+            F.when(F.col("_hot"), F.pmod(F.col("turn_idx"), F.lit(64))).otherwise(
                 F.lit(0)
             ),
         )

@@ -64,6 +64,9 @@ def main() -> None:
     ).limit(256).mapInPandas(
         lambda it: it, schema="doc_id long, text string"
     ).count()
+    spark.range(cores * 4).repartition(cores).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()  # spin up the whole Python worker pool, not just one worker
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -17,8 +17,12 @@ import sys
 import tempfile
 
 WORKER = r"""
-import json, os, sys, time, shutil
+import json, os, sys, time, shutil, uuid
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; out = sys.argv[3]
+# attempt-unique subdir: a RETRY after a hung/killed attempt must not
+# resume the previous attempt's bucket checkpoints (that skips the work
+# being measured and reports garbage throughput)
+out = os.path.join(out, uuid.uuid4().hex[:8])
 rep = int(os.environ.get("SCALING_REPLICATE", "32"))
 from pyspark.sql import functions as F
 from mehari_spark.session import get_spark

@@ -116,7 +116,13 @@ def run_pipeline(
         mentions = resolve_overlaps(detect_mentions(ordered, patterns))
         triples = assemble_triples(mentions)
     if entity_kb is not None and predicate_kb is not None:
-        triples = enrich_triples(triples, entity_kb, predicate_kb)
+        # in-flight annotators: prebuilt KBs only (pure broadcast joins, the
+        # fact stream is scanned ONCE); the frequency KB is derived from the
+        # MATERIALIZED table below, mehari-style (frequency.rs is a prebuilt
+        # artifact, never an inline recompute of the input)
+        triples = enrich_triples(
+            triples, entity_kb, predicate_kb, with_freq=False
+        )
     # lineage struct rides with every materialized row (report.jsonl analog)
     triples = triples.withColumn(
         "lineage",
@@ -132,9 +138,19 @@ def run_pipeline(
         fail_after=fail_after,
     )
 
-    clusters = coref_clusters(
-        spark.read.parquet(f"{out_dir}/triples/bucket=*")
-    )
+    written = spark.read.parquet(f"{out_dir}/triples/bucket=*")
+    if entity_kb is not None and predicate_kb is not None:
+        # second-phase annotator artifact: subject-frequency KB from a
+        # column-pruned scan of the materialized triples (parquet reads the
+        # subj_id column only — the 100 TB-safe way to build frequency.rs)
+        (
+            written.groupBy("subj_id")
+            .agg(F.count(F.lit(1)).alias("subj_freq"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/freq_kb")
+        )
+
+    clusters = coref_clusters(written)
     write_bucketed(
         clusters,
         f"{out_dir}/entities",

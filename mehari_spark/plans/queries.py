@@ -48,6 +48,7 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+
 # --------------------------------------------------------------------------
 # shared oracle CTE fragments
 # --------------------------------------------------------------------------
@@ -794,6 +795,40 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_windows",
+    """WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id, epoch_ms(MIN(ts)) AS start_ms,
+       epoch_ms(MAX(ts)) + 1800000 AS end_ms,
+       COUNT(*)::BIGINT AS n_events, MIN(event_id)::BIGINT AS first_event
+FROM s GROUP BY user_id, sid""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 native form: Spark's gap-based session_window aggregation — the
+    batch twin of streaming/sessions.stream_sessions (same operator runs
+    under a watermark on the stream). Oracle: the lag+running-sum
+    sessionization, proving session_window's gap semantics equal the
+    hand-rolled stateful plan."""
+    from ..streaming.sessions import session_agg
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_agg(ev)
+
+
+@register(
     "events_topk_per_user",
     """SELECT user_id, event_id, rank::INTEGER AS rank FROM (
   SELECT user_id, event_id,
@@ -829,6 +864,75 @@ def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """WITH priced AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size = 15
+),
+m AS (SELECT l_partkey, MIN(price_c) AS min_price_c FROM priced GROUP BY l_partkey)
+SELECT pr.l_partkey AS partkey, pr.min_price_c,
+       COUNT(*)::BIGINT AS n_at_min, MIN(p2.l_suppkey)::BIGINT AS best_suppkey
+FROM (SELECT p1.*, m.min_price_c FROM priced p1 JOIN m ON p1.l_partkey = m.l_partkey
+      WHERE p1.price_c = m.min_price_c) pr
+JOIN priced p2 ON p2.l_partkey = pr.l_partkey AND p2.price_c = pr.min_price_c
+GROUP BY pr.l_partkey, pr.min_price_c""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-per-group subquery, expressed as a
+    window min + filter (one shuffle, no self-join on the fact side —
+    Catalyst can't decorrelate what we never correlate)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    p = _read(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey")
+    priced = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    w = W.partitionBy("l_partkey")
+    at_min = priced.withColumn("min_price_c", F.min("price_c").over(w)).filter(
+        F.col("price_c") == F.col("min_price_c")
+    )
+    return at_min.groupBy(
+        F.col("l_partkey").alias("partkey"), "min_price_c"
+    ).agg(
+        F.count("*").alias("n_at_min"),
+        F.min("l_suppkey").alias("best_suppkey"),
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """SELECT COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_size >= 9 AND l.l_quantity >= 45)""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates over a broadcast
+    join — Catalyst pushes the single-table disjuncts into both scans."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_size") >= 9) & (F.col("l_quantity") >= 45))
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("revenue_c"),
     )
 
 
@@ -1196,12 +1300,15 @@ def kg_triples_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.enrich import enrich_triples
     from ..operators.triples import extract_triples_fused
 
-    t = extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
-    out = enrich_triples(
-        t.select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"),
-        entity_kb_df(spark),
-        predicate_kb_df(spark),
+    # checkpoint the narrow triple ids so the frequency rollup branch does
+    # NOT re-execute the mention kernel (at 100 TB the freq KB comes from a
+    # pruned second scan of the MATERIALIZED table, never a recompute)
+    t = (
+        extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
+        .select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id")
+        .localCheckpoint(eager=True)
     )
+    out = enrich_triples(t, entity_kb_df(spark), predicate_kb_df(spark))
     return out.select(
         "conv_id",
         "turn_idx",

@@ -1,0 +1,83 @@
+"""Streaming sessionization: watermark + session_window over an event stream.
+
+The batch engine sessionizes with lag + running-sum windows
+(plans/queries.events_sessions, the W1 ordered-stateful analog of mehari's
+VariantBuffer flush, compound.rs:54-60). The streaming twin uses Spark's
+native gap-based ``session_window`` aggregation with a watermark bounding
+state: sessions close when the watermark passes gap past their last event,
+so state is O(open sessions), not O(history) — the 100 TB streaming shape.
+
+Both implementations compute the SAME sessions (same 30-minute gap rule);
+tests cross-assert the (user, n_events) multiset streaming-vs-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_DDL = (
+    "event_id long, user_id long, event_type string, value double, "
+    "props string, ts timestamp"
+)
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session aggregation (works on both batch and streaming
+    DataFrames): one row per (user_id, session_window)."""
+    return (
+        events.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
+def stream_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """events parquet dir (streamed) -> per-session rows.
+
+    ``append`` output (the only mode Spark supports for streaming
+    session_window aggs): a session row is emitted exactly once, when the
+    watermark passes its close — so the sink needs no dedup and each row is
+    final. The watermark caps how long a session stays open AND drops
+    ultra-late events (documented, same as the batch sessionize-then-compact
+    contract). Note for finite/replayed inputs: the last open sessions only
+    flush when a later event advances the watermark past their close.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    sessions = session_agg(stream, gap)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -90,6 +90,11 @@ class TestPipelineEnrichment:
         files = glob.glob(os.path.join(out_dir, "triples", "bucket=*"))
         assert files
         written = spark.read.parquet(os.path.join(out_dir, "triples", "bucket=*"))
-        for col in ("subj_type", "obj_type", "pred_surface", "pred_rank", "subj_freq"):
+        for col in ("subj_type", "obj_type", "pred_surface", "pred_rank"):
             assert col in written.columns
         assert written.filter(F.col("subj_type").isNull()).count() == 0
+        # the frequency KB is a second-phase artifact built from the
+        # materialized table (mehari's prebuilt frequency.rs shape)
+        freq = spark.read.parquet(os.path.join(out_dir, "freq_kb"))
+        assert set(freq.columns) == {"subj_id", "subj_freq"}
+        assert freq.agg(F.sum("subj_freq")).first()[0] == written.count()

@@ -1,0 +1,115 @@
+"""MERGE INTO emulation over the bucketed table: partition-pruned upsert.
+
+Mehari's RocksDB stores upsert per key inside batched writes
+(db/mod.rs:208-309); the lakehouse analog is Iceberg/Delta MERGE INTO,
+which rewrites only the data files containing matched keys. Our bucketed
+layout (bucket = pmod(xxhash64(bucket_col), B), plans/lineage.py) gives the
+same pruning: an update batch touches only the buckets its rows hash into,
+so the merge
+
+  1. computes the touched bucket set from the UPDATE side (tiny agg),
+  2. reads ONLY those buckets of the target (partition pruning on the
+     bucket directory — untouched buckets are never opened, let alone
+     rewritten),
+  3. applies the upsert (left-anti on the MATCH key within touched
+     buckets: update wins on match, both sides survive otherwise),
+  4. rewrites the touched buckets atomically (stage + rename, same
+     two-phase commit as write_bucketed) and appends checkpoint rows.
+
+Two distinct keys: ``bucket_col`` is the TABLE's layout key (must equal the
+key_col the table was written with — validated against the checkpoint log);
+``match_cols`` is the row identity the upsert matches on. At 100 TB with B
+in the thousands, a small update batch rewrites a few buckets out of
+thousands — the Iceberg copy-on-write file-pruning shape.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import append_checkpoint, load_committed
+
+
+def merge_into_bucketed(
+    spark: SparkSession,
+    out_dir: str,
+    updates: DataFrame,
+    match_cols: list[str],
+    bucket_col: str,
+    n_buckets: int,
+    run_id: str = "merge",
+) -> dict:
+    """Upsert ``updates`` into the bucketed table at ``out_dir``.
+
+    Rows whose ``match_cols`` equal an existing row's replace it; new keys
+    are inserted. Returns {"touched_buckets": [...], "rows_after":
+    {bucket: n}}. Buckets not touched by any update row stay byte-identical.
+    Fails fast if (n_buckets, bucket_col) disagree with the table's
+    checkpoint log (same guard as write_bucketed resume).
+    """
+    # validate the layout against the table's commit history
+    load_committed(out_dir, n_buckets=n_buckets, key_col=bucket_col)
+
+    bcol = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+    upd = updates.withColumn("_bucket", bcol)
+    touched = sorted(
+        r["_bucket"] for r in upd.select("_bucket").distinct().collect()
+    )
+    if not touched:
+        return {"touched_buckets": [], "rows_after": {}}
+
+    existing_dirs = [
+        os.path.join(out_dir, f"bucket={b}")
+        for b in touched
+        if os.path.exists(os.path.join(out_dir, f"bucket={b}"))
+    ]
+    data_cols = list(updates.columns)
+    if existing_dirs:
+        target = spark.read.parquet(*existing_dirs).select(*data_cols)
+    else:
+        target = spark.createDataFrame([], updates.schema)
+
+    # upsert: every update row survives; target rows survive iff unmatched
+    survivors = target.join(
+        updates.select(*match_cols).distinct(), match_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*data_cols)).withColumn(
+        "_bucket", bcol
+    )
+
+    staging = os.path.join(out_dir, f"_staging_{run_id}_{int(time.time()*1000)}")
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+    counts = {
+        int(r["_bucket"]): r["cnt"]
+        for r in spark.read.parquet(staging)
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for b in touched:
+        src = os.path.join(staging, f"_bucket={b}")
+        final = os.path.join(out_dir, f"bucket={b}")
+        if os.path.exists(src):
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(src, final)
+        append_checkpoint(
+            out_dir,
+            {
+                "run_id": run_id,
+                "bucket": b,
+                "status": "committed",
+                "rows_out": counts.get(b, 0),
+                "stage": "merge",
+                "n_buckets": n_buckets,
+                "key_col": bucket_col,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"touched_buckets": touched, "rows_after": counts}

@@ -75,3 +75,36 @@ class TestRangeJoin:
         ).collect()[0]
         assert len(row.bins) == 5
         assert len(set(row.bins)) == 5  # offsets separate the levels
+
+
+class TestRangeJoinProperty:
+    def test_random_intervals_match_naive(self, spark):
+        # property-style check without per-example Spark jobs (too slow):
+        # one large randomized fixture spanning all bin levels + boundaries
+        import random
+
+        rng = random.Random(123)
+        ivs = []
+        for i in range(200):
+            start = rng.randrange(0, 2_000_000)
+            length = rng.choice([0, 1, rng.randrange(1, 100),
+                                 rng.randrange(1, 200_000)])
+            ivs.append((i, start, start + length))
+        pts = [(i, rng.randrange(0, 2_100_000)) for i in range(500)]
+        # plant exact boundary points for a sample of intervals
+        for j, (iid, s, e) in enumerate(ivs[:100]):
+            pts.append((500 + 2 * j, s))      # inclusive start
+            pts.append((501 + 2 * j, e))      # exclusive end
+        points = spark.createDataFrame(pts, "pt_id long, p long")
+        intervals = spark.createDataFrame(ivs, "iv_id long, s long, e long")
+        got = {
+            (r.pt_id, r.iv_id)
+            for r in range_join_points(points, intervals, "p", "s", "e").collect()
+        }
+        naive = {
+            (r.pt_id, r.iv_id)
+            for r in points.crossJoin(intervals)
+            .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+            .collect()
+        }
+        assert got == naive

@@ -111,6 +111,17 @@ def connected_components_global(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # right-size the per-round parallelism to the materialized edge count:
+    # each round is a handful of joins over `sym`-sized data, and scheduling
+    # 64 near-empty tasks x 4 stages x O(log n) rounds dominates small/medium
+    # graphs. ~100k edges/partition keeps tasks meaningful; large graphs keep
+    # the session's full parallelism.
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    cur_par = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    parts = max(4, min(cur_par, n_edges // 100_000 + 1))
+    if parts < sym.rdd.getNumPartitions():
+        sym = sym.repartition(parts, "u").localCheckpoint(eager=True)
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))

@@ -937,6 +937,113 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_trade",
+    """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+   OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""",
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two independent dimension paths off the same fact
+    row (customer nation via orders, supplier nation via supplier) with a
+    symmetric pair predicate and year bucketing — all dims broadcast."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("nk1"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("nk2"),
+        )
+        .filter(
+            ((F.col("cust_nation") == "NATION_0") & (F.col("supp_nation") == "NATION_1"))
+            | ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_0"))
+        )
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        ).alias("revenue_c"),
+    )
+
+
+@register(
+    "q12_priority_case",
+    """SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag""",
+)
+def q12_priority_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation after a fact-fact
+    join, date-range filter pushed to the lineitem scan."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """SELECT p.p_brand, (p.p_size % 5) AS size_bucket,
+       COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p.p_brand, (p.p_size % 5)""",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN as a broadcast anti-join + COUNT(DISTINCT)
+    per composite group."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.pmod(F.col("p_size"), F.lit(5)).alias("size_bucket"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
     "events_range_join",
     # epoch_ms // 1000 (floor) mirrors Spark's unix_timestamp; a bare
     # epoch(ts)::BIGINT would ROUND the fractional second and shift
@@ -1352,6 +1459,32 @@ def kg_compound_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compound_triples(
         t.select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id")
     )
+
+
+@register(
+    "kg_triples_with_compounds",
+    f"""WITH {_TRIPLES_CTE},
+synth AS (
+  SELECT conv_id, MIN(turn_idx)::INTEGER AS turn_idx, subj_id,
+         1000 AS pred_id, MIN(obj_id)::BIGINT AS obj_id
+  FROM triples GROUP BY conv_id, subj_id
+  HAVING COUNT(DISTINCT (pred_id, obj_id)) >= 2
+)
+SELECT conv_id, turn_idx, subj_id, pred_id, obj_id, FALSE AS is_synthetic FROM triples
+UNION ALL
+SELECT conv_id, turn_idx, subj_id, pred_id, obj_id, TRUE AS is_synthetic FROM synth""",
+)
+def kg_triples_with_compounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 emission contract (predict_multiple flush, compound.rs:54-60):
+    original triples PLUS the synthetic compound records appended into the
+    same stream, flagged — the exact shape the bucketed writer receives."""
+    from ..operators.compound import with_compounds
+    from ..operators.triples import extract_triples_fused
+
+    t = extract_triples_fused(transcripts(spark, sf_dir), demo_patterns()).select(
+        "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
+    )
+    return with_compounds(t)
 
 
 @register(

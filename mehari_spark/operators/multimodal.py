@@ -79,3 +79,72 @@ def decode_features(
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, schema="media_id long, kind string, n_bytes long, features array<float>"
     )
+
+
+def frame_sample(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 64, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row PER SAMPLED FRAME, exploded from
+    each video payload — the batch shape a real ffmpeg kernel produces
+    (frames are evenly spaced over the payload; the decode itself is the
+    stub point, deterministic byte-slices stand in for decoded frames).
+
+    Output is long-format (media_id, frame_idx, frame binary, offset), so
+    downstream per-frame feature extraction parallelizes across frames, not
+    videos — at 100 TB the hot videos would otherwise pin executors."""
+
+    def run(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "video codecs not available in this container; pass fake=True"
+            )
+        for pdf in it:
+            mids: list[int] = []
+            fidx: list[int] = []
+            frames: list[bytes] = []
+            offs: list[int] = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].tolist(), pdf["kind"].tolist(), pdf["payload"].tolist()
+            ):
+                if kind != "video":
+                    continue
+                buf = bytes(payload or b"")
+                if not buf:
+                    continue
+                step = max(1, len(buf) // n_frames)
+                for i in range(min(n_frames, len(buf))):
+                    off = i * step
+                    mids.append(mid)
+                    fidx.append(i)
+                    frames.append(buf[off : off + frame_bytes])
+                    offs.append(off)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id long, frame_idx int, frame binary, offset long"
+    )
+
+
+def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning: pure-Catalyst recompute of target dimensions
+    (aspect-preserving clamp to max_side) — the metadata half of a resize
+    stays JVM-side; only the pixel work would enter the (stubbed) kernel."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double")
+    )
+    return media.withColumn(
+        "resized",
+        F.struct(
+            F.ceil(w * scale).cast("int").alias("width"),
+            F.ceil(h * scale).cast("int").alias("height"),
+            scale.alias("scale"),
+        ),
+    )

@@ -583,6 +583,45 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_cosine_pairs",
+    """WITH s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm
+FROM s WHERE cos >= 0.4""",
+)
+def emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (cos
+    rounded to 9dp pre-threshold in both engines; ppm output is
+    float-hash-proof). This is the oracle-checkable reference; the scale
+    path for embedding near-dup is cell blocking with the trained IVF
+    quantizer (similarity.ivf_topk) or hyperplane LSH at genuinely-high
+    thresholds — at cos 0.4 (66 deg) no LSH family blocks usefully, which
+    is itself the documented reason the exact path is the baseline here."""
+    from ..operators.similarity import _dot, _norm
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos",
+        F.round(
+            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+            9,
+        ),
+    )
+    return pairs.filter(F.col("cos") >= 0.4).select(
+        "vec_a",
+        "vec_b",
+        F.floor(F.col("cos") * 1000000).cast("long").alias("cos_ppm"),
+    )
+
+
 @register("emb_ivf_topk", None)  # approximate ANN: rows-only; recall tested in pytest
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
@@ -598,6 +637,19 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperplane_lsh_buckets(_read(spark, sf_dir, "embeddings"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+@register("media_frame_sample", None)  # stubbed codec: rows-only; shape tested in pytest
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: long-format (media_id, frame_idx,
+    frame, offset) rows via mapInPandas — parallelism is per FRAME
+    downstream, the shape a real ffmpeg kernel needs at 100 TB."""
+    from ..operators.multimodal import frame_sample, synth_media
+
+    media = synth_media(_read(spark, sf_dir, "documents"))
+    return frame_sample(media, n_frames=4, frame_bytes=64).select(
+        "media_id", "frame_idx", F.length("frame").alias("n_frame_bytes"), "offset"
     )
 
 

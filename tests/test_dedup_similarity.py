@@ -63,12 +63,15 @@ class TestSimilarity:
             (r.query_id, r.neighbor_id)
             for r in cosine_topk(emb, qids, k=3).collect()
         }
+        # 8 cells / 6 probed: the synthetic vectors are near-uniform on the
+        # sphere (worst case for IVF), so the probe fraction must be high
+        # to clear 0.9 — real clustered corpora run nprobe << n_centroids
         ivf = {
             (r.query_id, r.neighbor_id)
-            for r in ivf_topk(emb, qids, k=3, n_centroids=8, nprobe=4).collect()
+            for r in ivf_topk(emb, qids, k=3, n_centroids=8, nprobe=6).collect()
         }
         recall = len(ivf & brute) / len(brute)
-        assert recall >= 0.7, f"IVF recall {recall:.3f} too low"
+        assert recall >= 0.9, f"IVF recall {recall:.3f} too low"
 
     def test_brute_topk_shape(self, spark):
         out = cosine_topk(_emb(spark), [0, 1], k=5).collect()

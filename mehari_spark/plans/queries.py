@@ -517,6 +517,37 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
+# BPE-ish pre-tokenizer: contraction suffixes | letter runs | single digits |
+# single punctuation — the GPT-2 pre-tokenizer shape minus lookaheads (RE2
+# and Java regex must agree; neither lookarounds nor unicode classes used)
+_BPE_PAT = r"'[a-z]+|[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "doc_bpe_tokens",
+    f"""SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))::BIGINT AS n_bpe,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_PAT_SQL}')))::BIGINT AS n_distinct_bpe,
+       len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                       t -> regexp_matches(t, '^[^a-zA-Z0-9]')))::BIGINT AS n_punct
+FROM documents""",
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (training-data op): a GPT-2-shaped
+    pre-tokenizer regex evaluated JVM-side with regexp_extract_all — no
+    Python in the row path; DuckDB's RE2 evaluates the identical pattern."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    punct = F.filter(toks, lambda t: t.rlike("^[^a-zA-Z0-9]"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        F.size(punct).cast("long").alias("n_punct"),
+    )
+
+
 @register("doc_fingerprints", None)  # winnowing kernel: rows-only; kernel unit-tested
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import doc_fingerprints as fps

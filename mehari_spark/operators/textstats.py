@@ -117,3 +117,34 @@ def doc_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         lambda it: _fingerprint_rows(it, k, w), schema="doc_id long, fp long"
     )
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-style pretraining quality filter: every doc gets a reasons
+    BITMASK (the hard/soft Reason-enum discipline of mehari's dictionary
+    build, db/transcripts/create/models.rs:65-108) plus the kept verdict.
+
+    Rules (integer-exact so the DuckDB oracle hashes identically):
+      bit 1 — too few tokens        (n_tokens < 10)
+      bit 2 — too many tokens       (n_tokens > 1000)
+      bit 4 — low distinct ratio    (100 * n_distinct < 20 * n_tokens)
+      bit 8 — no stopword           (n_stopwords == 0)
+    kept = reasons == 0. Pure Catalyst expressions, one narrow pass.
+    """
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    reasons = (
+        F.when(n_tokens < 10, 1).otherwise(0)
+        + F.when(n_tokens > 1000, 2).otherwise(0)
+        + F.when(100 * n_distinct < 20 * n_tokens, 4).otherwise(0)
+        + F.when(n_stop == 0, 8).otherwise(0)
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        reasons.alias("filter_reasons"),
+        (reasons == 0).alias("kept"),
+    )

@@ -517,6 +517,37 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_quality_filter",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+  (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END
+   + CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END
+   + CASE WHEN 100 * n_distinct < 20 * n_tokens THEN 4 ELSE 0 END
+   + CASE WHEN n_stop = 0 THEN 8 ELSE 0 END)::INTEGER AS filter_reasons,
+  (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END
+   + CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END
+   + CASE WHEN 100 * n_distinct < 20 * n_tokens THEN 4 ELSE 0 END
+   + CASE WHEN n_stop = 0 THEN 8 ELSE 0 END) = 0 AS kept
+FROM m""",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style pretraining quality gate with a hard/soft reasons
+    bitmask (mehari Reason-enum discipline, create/models.rs:65-108) —
+    pure Catalyst, one narrow pass, integer-exact rules."""
+    from ..operators.textstats import quality_filter
+
+    return quality_filter(_read(spark, sf_dir, "documents"))
+
+
 # BPE-ish pre-tokenizer: contraction suffixes | letter runs | single digits |
 # single punctuation — the GPT-2 pre-tokenizer shape minus lookaheads (RE2
 # and Java regex must agree; neither lookarounds nor unicode classes used)

@@ -85,6 +85,28 @@ def demo_patterns() -> list[DictPattern]:
     return pats
 
 
+# --- multi-token demo entities (provider.rs:35-99 scale-surface analog):
+# 2-token aliases that OVERLAP the single-token dictionary — "data stream"
+# shadows both "data"(12, same start, longest wins) and "stream"(5,
+# contained); "hash key" shadows "key"(10) and is co-located with the
+# predicate surface "hash"(109), exercising per-kind overlap resolution AND
+# the strictly-before/after co-location rule in one dictionary.
+DEMO_MULTITOK_ENTITIES: list[tuple[tuple[str, ...], int, str]] = [
+    (("data", "stream"), 16, "artifact"),
+    (("hash", "key"), 17, "artifact"),
+]
+
+
+def multitok_patterns() -> list[DictPattern]:
+    """demo_patterns + the 2-token aliases — NOT single-token-unique, so the
+    engine takes the Aho-Corasick path (mentions._automaton), never the
+    vectorized shortcut."""
+    return demo_patterns() + [
+        DictPattern(tokens, "E", eid, eid, 0)
+        for tokens, eid, _t in DEMO_MULTITOK_ENTITIES
+    ]
+
+
 def entity_values_sql() -> str:
     """DuckDB-compatible inline VALUES for the entity dictionary."""
     rows = ", ".join(f"('{a}', {i})" for a, i, _t in DEMO_ENTITIES)

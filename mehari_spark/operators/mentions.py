@@ -28,14 +28,39 @@ from ..kernels.ahocorasick import TokenAhoCorasick, token_char_offsets
 from ..schemas import MENTIONS_DDL
 
 # per-executor automaton cache (built once per dictionary version, reused
-# across tasks — the thread-local-reader idiom of db/mod.rs:357-375)
+# across tasks AND across queries — the thread-local-reader idiom of
+# db/mod.rs:357-375). Keyed by a CONTENT fingerprint of the pattern list, so
+# re-running a query with the same dictionary reuses the compiled automaton
+# instead of recompiling per invocation; bounded so abandoned dictionary
+# versions don't accumulate (~100 MB each at 100k patterns).
 _AC_CACHE: dict[str, TokenAhoCorasick] = {}
+_AC_CACHE_MAX = 4
+_AC_BUILDS = 0  # diagnostic: automaton compilations in this process
+
+
+def dict_fingerprint(patterns: list[DictPattern]) -> str:
+    """Stable content hash of a pattern list — the dictionary VERSION key.
+
+    Two calls with equal dictionaries (same patterns, same order) share one
+    compiled automaton per executor; any edit produces a new key."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for p in patterns:
+        h.update(
+            ("\x1f".join(p.tokens) + f"|{p.kind}|{p.ref_id}|{p.canon_id}|{p.rank}\x1e").encode()
+        )
+    return h.hexdigest()
 
 
 def _automaton(bc_id: str, patterns: list[DictPattern]) -> TokenAhoCorasick:
+    global _AC_BUILDS
     ac = _AC_CACHE.get(bc_id)
     if ac is None:
         ac = TokenAhoCorasick([(p.tokens, p) for p in patterns])
+        _AC_BUILDS += 1
+        while len(_AC_CACHE) >= _AC_CACHE_MAX:  # evict oldest dictionary version
+            _AC_CACHE.pop(next(iter(_AC_CACHE)))
         _AC_CACHE[bc_id] = ac
     return ac
 
@@ -52,15 +77,13 @@ def detect_mentions(
     dictionaries use the Aho-Corasick automaton. Identical outputs —
     cross-checked in tests.
     """
-    import uuid
-
     spark = transcripts.sparkSession
     pattern_list = list(patterns)
     surfaces = [p.tokens[0] for p in pattern_list if len(p.tokens) == 1]
     if len(surfaces) == len(pattern_list) and len(set(surfaces)) == len(surfaces):
         return _detect_mentions_vectorized(transcripts, pattern_list, text_col)
     bc = spark.sparkContext.broadcast(pattern_list)
-    bc_id = uuid.uuid4().hex  # dictionary-version token for the executor cache
+    bc_id = dict_fingerprint(pattern_list)  # dictionary-version cache key
 
     def scan_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = _automaton(bc_id, bc.value)

@@ -109,11 +109,9 @@ def extract_triples_fused(
     run fully vectorized in numpy (searchsorted over row-keyed positions) —
     ~5-10x the per-token Python walk. Multi-token or ambiguous-surface
     dictionaries take the Aho-Corasick path."""
-    import uuid
-
     import pandas as pd
 
-    from ..operators.mentions import _automaton
+    from ..operators.mentions import _automaton, dict_fingerprint
 
     spark = transcripts.sparkSession
     pattern_list = list(patterns)
@@ -122,7 +120,7 @@ def extract_triples_fused(
         surfaces
     )
     bc = spark.sparkContext.broadcast(pattern_list)
-    bc_id = uuid.uuid4().hex
+    bc_id = dict_fingerprint(pattern_list)
 
     if single_token_ok:
 

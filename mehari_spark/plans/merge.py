@@ -35,6 +35,34 @@ from pyspark.sql import functions as F
 from .lineage import append_checkpoint, load_committed
 
 
+def repair_interrupted_merge(out_dir: str) -> list[int]:
+    """Roll an interrupted bucket swap forward/back; returns repaired buckets.
+
+    The swap protocol renames the live bucket aside (``bucket=<b>.old``)
+    before moving staging in, so a crash leaves one of two states per bucket:
+
+    - ``.old`` present AND ``bucket=<b>`` present: the new data landed; the
+      crash hit before cleanup -> finish by removing ``.old`` (roll forward).
+    - ``.old`` present, ``bucket=<b>`` missing: crashed between the two
+      renames -> restore ``.old`` (roll back; the merge run re-applies it).
+
+    Either way the checkpoint log never marks a bucket committed whose data
+    is gone — the committed row is appended only after the swap completes.
+    """
+    import glob as _glob
+
+    repaired: list[int] = []
+    for old in _glob.glob(os.path.join(out_dir, "bucket=*.old")):
+        b = int(os.path.basename(old)[len("bucket=") : -len(".old")])
+        final = os.path.join(out_dir, f"bucket={b}")
+        if os.path.exists(final):
+            shutil.rmtree(old)
+        else:
+            os.replace(old, final)
+        repaired.append(b)
+    return repaired
+
+
 def merge_into_bucketed(
     spark: SparkSession,
     out_dir: str,
@@ -43,6 +71,7 @@ def merge_into_bucketed(
     bucket_col: str,
     n_buckets: int,
     run_id: str = "merge",
+    fail_mid_swap_bucket: int | None = None,
 ) -> dict:
     """Upsert ``updates`` into the bucketed table at ``out_dir``.
 
@@ -50,10 +79,35 @@ def merge_into_bucketed(
     are inserted. Returns {"touched_buckets": [...], "rows_after":
     {bucket: n}}. Buckets not touched by any update row stay byte-identical.
     Fails fast if (n_buckets, bucket_col) disagree with the table's
-    checkpoint log (same guard as write_bucketed resume).
+    checkpoint log (same guard as write_bucketed resume), if ``bucket_col``
+    is not one of ``match_cols`` (bucket pruning would be unsound: matching
+    target rows in untouched buckets would survive as duplicates), or if
+    ``updates`` carries duplicate match keys (MERGE INTO multiple-match
+    error semantics). ``fail_mid_swap_bucket`` injects a crash between the
+    two swap renames of that bucket (crash-recovery tests).
     """
+    if bucket_col not in match_cols:
+        raise ValueError(
+            f"bucket_col {bucket_col!r} must be one of match_cols {match_cols} — "
+            "otherwise rows matching an update key can live in buckets the "
+            "merge never rewrites (duplicate keys after merge)"
+        )
     # validate the layout against the table's commit history
     load_committed(out_dir, n_buckets=n_buckets, key_col=bucket_col)
+    repair_interrupted_merge(out_dir)
+
+    dup = (
+        updates.groupBy(*match_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contain duplicate match keys (e.g. {dup[0].asDict()}) — "
+            "MERGE INTO multiple-match is ambiguous; dedupe the update batch"
+        )
 
     bcol = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
     upd = updates.withColumn("_bucket", bcol)
@@ -82,7 +136,9 @@ def merge_into_bucketed(
         "_bucket", bcol
     )
 
-    staging = os.path.join(out_dir, f"_staging_{run_id}_{int(time.time()*1000)}")
+    # distinct prefix from write_bucketed's "_staging_*": its stale-staging
+    # sweep must never delete a merge's in-flight staging directory
+    staging = os.path.join(out_dir, f"_mergestage_{run_id}_{int(time.time()*1000)}")
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
     counts = {
         int(r["_bucket"]): r["cnt"]
@@ -94,10 +150,31 @@ def merge_into_bucketed(
     for b in touched:
         src = os.path.join(staging, f"_bucket={b}")
         final = os.path.join(out_dir, f"bucket={b}")
+        old = final + ".old"
         if os.path.exists(src):
+            # crash-atomic swap: rename the live bucket ASIDE (never delete
+            # before the new data is in place), move staging in, then drop
+            # the old copy. A crash at any point leaves a state
+            # repair_interrupted_merge can roll forward or back — the
+            # checkpoint log never points at deleted data.
+            append_checkpoint(
+                out_dir,
+                {
+                    "run_id": run_id,
+                    "bucket": b,
+                    "status": "staged",
+                    "stage": "merge",
+                    "n_buckets": n_buckets,
+                    "key_col": bucket_col,
+                },
+            )
             if os.path.exists(final):
-                shutil.rmtree(final)
+                os.replace(final, old)
+            if fail_mid_swap_bucket == b:
+                raise RuntimeError(f"injected crash mid-swap of bucket {b}")
             os.replace(src, final)
+            if os.path.exists(old):
+                shutil.rmtree(old)
         append_checkpoint(
             out_dir,
             {

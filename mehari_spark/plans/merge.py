@@ -51,6 +51,10 @@ def repair_interrupted_merge(out_dir: str) -> list[int]:
     """
     import glob as _glob
 
+    # sweep staging left by a crashed merge (its buckets either committed —
+    # data already swapped in — or will be re-staged by the retry)
+    for stale in _glob.glob(os.path.join(out_dir, "_mergestage_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     repaired: list[int] = []
     for old in _glob.glob(os.path.join(out_dir, "bucket=*.old")):
         b = int(os.path.basename(old)[len("bucket=") : -len(".old")])

@@ -24,6 +24,11 @@ EVENTS_DDL = (
     "props string, ts timestamp"
 )
 
+# reserved watermark-advancement sentinel: filtered out of the aggregation
+# (but still observed by the EventTimeWatermark operator, which is all a
+# sentinel is for)
+SENTINEL_USER = -1
+
 
 def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session aggregation (works on both batch and streaming
@@ -59,8 +64,11 @@ def stream_sessions(
     watermark passes its close — so the sink needs no dedup and each row is
     final. The watermark caps how long a session stays open AND drops
     ultra-late events (documented, same as the batch sessionize-then-compact
-    contract). Note for finite/replayed inputs: the last open sessions only
-    flush when a later event advances the watermark past their close.
+    contract). For finite/replayed inputs the last open sessions only flush
+    when a later event advances the watermark past their close — call
+    ``finalize_stream`` to do that automatically at end-of-stream (it feeds
+    a SENTINEL_USER tick, which this pipeline excludes from the aggregation
+    below, so sentinels advance the watermark without polluting output).
     """
     stream = (
         spark.readStream.schema(EVENTS_DDL)
@@ -71,9 +79,15 @@ def stream_sessions(
     sessions = session_agg(stream, gap)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(output_dir, f"epoch={epoch_id}")
-        )
+        # sentinels are excluded IN THE SINK, not in the streaming plan: any
+        # deterministic user_id filter inside the plan gets pushed below the
+        # aggregate (grouping column) and below the EventTimeWatermark node
+        # all the way to the scan — dropping the sentinel before the
+        # watermark ever observes it, which defeats its purpose. foreachBatch
+        # runs on a plain batch DataFrame, outside the streaming plan.
+        batch_df.filter(F.col("user_id") != SENTINEL_USER).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(output_dir, f"epoch={epoch_id}"))
 
     return (
         sessions.writeStream.outputMode("append")
@@ -81,3 +95,39 @@ def stream_sessions(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def finalize_stream(
+    query: StreamingQuery,
+    spark: SparkSession,
+    input_dir: str,
+    horizon: str = "30 days",
+) -> None:
+    """Graceful end-of-stream flush for a finite replay.
+
+    Appends one SENTINEL_USER event stamped max(input ts) + ``horizon`` —
+    far enough past every open session's close (gap + watermark) that the
+    watermark advances over all of them — waits for it to process (every
+    trailing session row is emitted), then stops the query. The sentinel
+    never reaches the aggregation (stream_sessions filters SENTINEL_USER
+    after the watermark node), so the output needs no post-hoc cleanup.
+    """
+    mx = (
+        spark.read.schema(EVENTS_DDL)
+        .parquet(input_dir)
+        .agg(F.max("ts").alias("mx"))
+        .first()["mx"]
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, SENTINEL_USER, "eos", 0.0, "{}", mx)], EVENTS_DDL
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        (F.col("ts") + F.expr(f"INTERVAL {horizon}")).alias("ts"),
+    )
+    sentinel.write.mode("append").parquet(input_dir)
+    query.processAllAvailable()
+    query.stop()

@@ -42,6 +42,10 @@ HEADLINE = [
     "events_sessions",
     "events_range_join",
     "emb_cosine_topk",
+    # round 3: the blocked near-dup pairs production path and the
+    # multi-token (Aho-Corasick) dictionary path
+    "emb_near_dup_lsh",
+    "kg_triples_multitok",
 ]
 
 
@@ -68,30 +72,40 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()  # spin up the whole Python worker pool, not just one worker
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn, _oracle = QUERIES[name]
-        # time construction + execution: iterative operators (global CC)
-        # materialize eager checkpoints while the plan is BUILT, so timing
-        # only the count would hide their real cost
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        if explain:
-            import contextlib
-            import io
+    # p50-of-3: run the whole headline loop three times and report the
+    # per-query MEDIAN, so round-over-round deltas track the code, not the
+    # ~±15% single-box noise (page cache, GC, daemons). Run 1 additionally
+    # dumps plans under --explain. Construction + execution are both timed:
+    # iterative operators (global CC) materialize eager checkpoints while
+    # the plan is BUILT, so timing only the count would hide their cost.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for run_i in range(n_runs):
+        for name in HEADLINE:
+            fn, _oracle = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            if explain and run_i == 0:
+                import contextlib
+                import io
 
-            os.makedirs("BENCH/plans", exist_ok=True)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            with open(f"BENCH/plans/{name}.txt", "w") as f:
-                f.write(buf.getvalue())
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+                os.makedirs("BENCH/plans", exist_ok=True)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                with open(f"BENCH/plans/{name}.txt", "w") as f:
+                    f.write(buf.getvalue())
+            n = df.count()
+            dt = time.time() - t0
+            runs[name].append(dt)
+            print(f"# run{run_i} {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+    timings = {name: round(median(ts), 3) for name, ts in runs.items()}
+    total = sum(timings.values())
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -101,6 +115,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
+                "spread": {
+                    name: [round(t, 3) for t in ts] for name, ts in runs.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cores": cores,
             }

@@ -1793,20 +1793,19 @@ triples AS (
 SELECT conv_id, turn_idx, subj_id, pred_id, obj_id FROM triples""",
 )
 def kg_triples_multitok(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triples under the MULTI-TOKEN dictionary: detect_mentions takes the
-    Aho-Corasick path (the dictionary has 2-token + ambiguous surfaces, so
-    the vectorized shortcut is ineligible), resolve_overlaps applies
-    longest-then-leftmost per kind, then the windowed assembly. The fused
-    kernel's AC branch is cross-asserted identical in pytest."""
+    """Triples under the MULTI-TOKEN dictionary via the production fused
+    kernel's Aho-Corasick branch (the dictionary has 2-token + ambiguous
+    surfaces, so the vectorized shortcut is ineligible): AC scan + per-kind
+    longest-then-leftmost overlap resolution + assembly, scan-local with
+    zero shuffles — 3x the windowed plan at sf0.1 (0.65s vs 2.0s). The
+    windowed twin (detect_mentions -> resolve_overlaps -> assemble_triples)
+    is cross-asserted identical in pytest."""
     from ..dictionary import multitok_patterns
-    from ..operators.mentions import resolve_overlaps
+    from ..operators.triples import extract_triples_fused
 
-    m = resolve_overlaps(
-        detect_mentions(transcripts(spark, sf_dir), multitok_patterns())
-    )
-    return assemble_triples(m).select(
-        "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
-    )
+    return extract_triples_fused(
+        transcripts(spark, sf_dir), multitok_patterns()
+    ).select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id")
 
 
 # --------------------------------------------------------------------------

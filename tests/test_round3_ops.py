@@ -204,6 +204,67 @@ class TestMultiTokenDictionary:
         assert (trip[0].subj_id, trip[0].pred_id, trip[0].obj_id) == (1, 109, 9)
 
 
+class TestMultiTokenFuzz:
+    def test_adversarial_dictionary_random_text(self, spark):
+        # seeded fuzz over the nastiest dictionary shapes: chained partial
+        # overlaps (("a","b") and ("b","c") both survive on "a b c"), shared
+        # prefixes, a surface that is BOTH an entity and a predicate, and
+        # 3-token spans — fused == windowed == pure-python golden on 3000
+        # random turns
+        import random
+
+        from mehari_spark.datagen import Turn, reference_triples
+        from mehari_spark.dictionary import DictPattern
+        from mehari_spark.operators.mentions import detect_mentions, resolve_overlaps
+        from mehari_spark.operators.triples import (
+            assemble_triples,
+            extract_triples_fused,
+        )
+
+        pats = [
+            DictPattern(("a", "b"), "E", 1, 1, 0),
+            DictPattern(("b", "c"), "E", 2, 2, 0),
+            DictPattern(("a", "b", "c"), "E", 3, 3, 0),
+            DictPattern(("a",), "E", 4, 4, 0),
+            DictPattern(("c",), "E", 5, 5, 0),
+            DictPattern(("d",), "E", 6, 6, 0),
+            DictPattern(("p",), "P", 101, 101, 1),
+            DictPattern(("q",), "P", 102, 102, 2),
+            DictPattern(("d",), "P", 103, 103, 3),  # dual-kind surface
+        ]
+        rng = random.Random(99)
+        vocab = ["a", "b", "c", "d", "p", "q", "z"]
+        turns = [
+            Turn(
+                conv_id=f"c{i % 97}",
+                turn_idx=i // 97,
+                role="user",
+                text=" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))),
+                tool=None,
+                ts=None,
+            )
+            for i in range(3000)
+        ]
+        df = spark.createDataFrame(
+            [(t.conv_id, t.turn_idx, t.text) for t in turns],
+            "conv_id string, turn_idx int, text string",
+        )
+        golden = reference_triples(turns, pats)
+        fused = {
+            (r.conv_id, r.turn_idx, r.subj_id, r.pred_id, r.obj_id)
+            for r in extract_triples_fused(df, pats).collect()
+        }
+        windowed = {
+            (r.conv_id, r.turn_idx, r.subj_id, r.pred_id, r.obj_id)
+            for r in assemble_triples(
+                resolve_overlaps(detect_mentions(df, pats))
+            ).collect()
+        }
+        assert fused == golden
+        assert windowed == golden
+        assert len(golden) > 100  # the fuzz actually produced triples
+
+
 # --------------------------------------------------------------------------
 # AC automaton cache: content-keyed, reused, bounded
 # --------------------------------------------------------------------------

@@ -36,6 +36,9 @@ class TestStatefulStreaming:
 
         out = spark.read.parquet(out_dir)
         # latest row per user = the cumulative totals over BOTH batches
+        # order by n_total (monotone cumulative count), not n_batches: the
+        # file source may split an append into 1 or 2 micro-batches, so
+        # n_batches can tie while n_total cannot
         latest = {
             r.user_id: (r.n_total, r.value_total_c)
             for r in out.withColumn(
@@ -43,7 +46,7 @@ class TestStatefulStreaming:
                 F.row_number().over(
                     __import__("pyspark.sql.window", fromlist=["Window"])
                     .Window.partitionBy("user_id")
-                    .orderBy(F.desc("n_batches"))
+                    .orderBy(F.desc("n_total"))
                 ),
             )
             .filter(F.col("rn") == 1)
@@ -52,10 +55,13 @@ class TestStatefulStreaming:
         assert latest[1] == (7, 1400)  # 3 + 4 events x value 2.00
         assert latest[2] == (5, 1000)
         assert latest[3] == (2, 400)
-        # user 1 was seen in two triggers — its second row proves the state
-        # carried the first trigger's count forward
+        # user 1 was seen in multiple triggers — its later rows prove the
+        # state carried earlier triggers' counts forward (the file source
+        # may split the two appends into 2+ micro-batches, so assert the
+        # monotone prefix property rather than an exact batch split)
         u1 = sorted(r.n_total for r in out.filter(F.col("user_id") == 1).collect())
-        assert u1 == [3, 7]
+        assert len(u1) >= 2 and u1[-1] == 7
+        assert u1 == sorted(set(u1))  # strictly increasing running totals
 
     def test_restart_resumes_state(self, spark, tmp_path):
         # state is checkpointed with the query: a restarted query continues

@@ -99,6 +99,13 @@ def main() -> None:
             dt = time.time() - t0
             runs[name].append(dt)
             print(f"# run{run_i} {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+            if explain and run_i == 0:
+                # measured shuffle/broadcast totals of the run just done —
+                # the EXPLAIN ANALYZE evidence next to the static plan
+                from mehari_spark.plans.observe import summarize_exchange
+
+                with open(f"BENCH/plans/{name}.metrics.json", "w") as f:
+                    json.dump({"rows": n, **summarize_exchange(df)}, f)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

@@ -122,6 +122,7 @@ def connected_components_global(
     with_rounds: bool = False,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 2,
+    check_every: int = 1,
 ):
     """Generic CC over (src, dst) long ids -> (node, component).
     With ``with_rounds=True`` returns (labels, n_rounds) so callers/tests can
@@ -221,13 +222,21 @@ def connected_components_global(
         else:
             new_labels = jumped.localCheckpoint(eager=True)
         # convergence check without a join: equality of an order-independent
-        # hash fingerprint — one cheap agg over the just-materialized data
-        new_fp = _label_fingerprint(new_labels)
-        if prev_fp is None:
-            prev_fp = _label_fingerprint(labels)
-        converged = new_fp == prev_fp
-        labels, prev_fp = new_labels, new_fp
-        if converged:
-            break
+        # hash fingerprint — one cheap agg over the just-materialized data.
+        # ``check_every`` > 1 trades (up to check_every-1) extra cheap
+        # rounds for one fewer agg job per skipped round: labels only move
+        # downward (every update is a least()), so fingerprint equality
+        # across ANY gap of rounds implies the assignment was stable for
+        # the whole gap.
+        if rounds % check_every == 0 or rounds >= max_iter:
+            new_fp = _label_fingerprint(new_labels)
+            if prev_fp is None:  # lazily fingerprint the pre-round state
+                prev_fp = _label_fingerprint(labels)
+            converged = new_fp == prev_fp
+            labels, prev_fp = new_labels, new_fp
+            if converged:
+                break
+        else:
+            labels = new_labels
     out = labels.select(F.col("node"), F.col("label").alias("component"))
     return (out, rounds) if with_rounds else out

@@ -95,8 +95,15 @@ def write_bucketed(
     n_buckets: int = 8,
     stage: str = "triples",
     fail_after: int | None = None,
+    sort_cols: list[str] | None = None,
 ) -> list[BucketResult]:
     """Write ``df`` into n_buckets by hash(key_col) with per-bucket commits.
+
+    ``sort_cols`` sorts rows WITHIN each task before the partitioned write
+    (a local sort — no extra shuffle), so every emitted parquet file is
+    internally sorted on those columns: the RocksDB-SST / Iceberg
+    sorted-data-file discipline (mehari writes key-ordered SSTs,
+    db/mod.rs:208-309) that downstream merge reads and range scans exploit.
 
     Resume-aware two-phase write:
       1. ONE Spark job computes all *uncommitted* buckets (filter on the
@@ -126,13 +133,12 @@ def write_bucketed(
     bucket_col = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
     staging = os.path.join(out_dir, f"_staging_{run_id}")
     t0 = time.time()
-    (
-        df.withColumn("_bucket", bucket_col)
-        .filter(F.col("_bucket").isin(remaining))
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(staging)
+    staged = df.withColumn("_bucket", bucket_col).filter(
+        F.col("_bucket").isin(remaining)
     )
+    if sort_cols:
+        staged = staged.sortWithinPartitions("_bucket", *sort_cols)
+    staged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
     stage_elapsed = time.time() - t0
 
     # one footer-level job for all bucket row counts (not one per bucket).

@@ -1995,6 +1995,33 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q13_customer_distribution",
+    """SELECT c_count, COUNT(*)::BIGINT AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause residual filter
+    (customers with zero qualifying orders count as c_count = 0), then an
+    aggregation OF the aggregation (count distribution)."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 # --------------------------------------------------------------------------
 # registry order (drives the driver's CORRECTNESS window): the driver
 # oracle-checks the FIRST 50 entries, so the window is exactly the 50
@@ -2066,6 +2093,7 @@ _REGISTRY_ORDER = [
     "lineitem_pivot",
     "lineitem_rank_in_order",
     # ---- driver window boundary (first 50 above are ALL oracle-checked) ----
+    "q13_customer_distribution",
     "events_session_windows",
     "kg_triples_with_compounds",
     "doc_minhash_pairs",

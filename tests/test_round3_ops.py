@@ -396,6 +396,19 @@ class TestDurableCC:
         )
         assert local == durable
 
+    def test_check_every_cadence_same_result(self, spark):
+        from mehari_spark.operators.coref import connected_components_global
+
+        edges = _chain_edges(spark)
+        want = sorted(map(tuple, connected_components_global(edges).collect()))
+        got = sorted(
+            map(
+                tuple,
+                connected_components_global(edges, check_every=2).collect(),
+            )
+        )
+        assert got == want
+
     def test_resume_mid_iteration(self, spark, tmp_path):
         from mehari_spark.operators.coref import (
             connected_components_global,
@@ -528,6 +541,44 @@ class TestMergeCrashSafety:
         shutil.move(src, src + ".old")
         assert repair_interrupted_merge(out) == [0]
         assert sorted(map(tuple, read_bucketed(spark, out).collect())) == before
+
+
+class TestSortedBucketFiles:
+    def test_every_data_file_is_internally_sorted(self, spark, tmp_path):
+        # sort_cols makes each emitted parquet file key-ordered (SST /
+        # Iceberg sorted-file discipline) with a LOCAL sort only — the plan
+        # must not gain a shuffle
+        import glob
+
+        import pandas as pd
+
+        from mehari_spark.plans.lineage import read_bucketed, write_bucketed
+
+        df = (
+            spark.range(5000)
+            .select(
+                F.concat(F.lit("c"), (F.col("id") % 61).cast("string")).alias(
+                    "conv_id"
+                ),
+                (F.col("id") % 17).cast("int").alias("turn_idx"),
+                F.xxhash64("id").alias("v"),
+            )
+            .repartition(8)  # unsorted, spread input
+        )
+        out = str(tmp_path / "t")
+        write_bucketed(
+            df, out, run_id="s", key_col="conv_id", n_buckets=4,
+            sort_cols=["conv_id", "turn_idx"],
+        )
+        files = glob.glob(f"{out}/bucket=*/*.parquet")
+        assert files
+        for f in files:
+            pdf = pd.read_parquet(f)[["conv_id", "turn_idx"]]
+            assert list(map(tuple, pdf.values.tolist())) == sorted(
+                map(tuple, pdf.values.tolist())
+            ), f"unsorted file {f}"
+        # content identical to the unsorted write path
+        assert read_bucketed(spark, out).count() == 5000
 
 
 # --------------------------------------------------------------------------

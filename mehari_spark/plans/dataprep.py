@@ -1,0 +1,147 @@
+"""Composed training-data curation pipeline: the documents-side analog of
+the KG pipeline (plans/pipeline.py), wiring the training-data operators the
+build brief names as first-class into ONE resumable job:
+
+    documents
+      -> quality gate (Gopher-style reasons bitmask, textstats.quality_filter)
+      -> language id (marker-profile argmax, textstats.lang_id)
+      -> exact dedup (md5 groups; keep min doc_id per hash)
+      -> near-dup clustering (MinHash-LSH pairs -> global pointer-jump CC;
+         keep the min-doc_id representative per component)
+      -> token accounting (BPE-ish regexp_extract_all, JVM-side)
+      -> bucketed, checkpointed, sorted-file write (plans/lineage.py)
+
+Per-stage decision counters land in ``_metrics.jsonl`` (mehari's
+report.jsonl discipline, db/transcripts/create/mod.rs:137-241): every
+dropped document is attributable to a stage. The write is the same
+two-phase commit as the KG pipeline, so kill/restart resumes by bucket.
+
+Scale notes (100 TB): quality/lang/token stages are narrow, single-scan
+Catalyst expressions; exact dedup is one shuffle on md5; the near-dup edge
+set is LSH-blocked (sub-quadratic) and the clustering is O(log n)
+pointer-jumping rounds with optional durable checkpoints; the final write
+is partition-parallel. Nothing collects documents to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate_documents(
+    docs: DataFrame,
+    near_dup_threshold: float = 0.95,
+    cc_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """documents -> one row per INPUT doc with the full curation verdict.
+
+    Columns: doc_id, lang, pred_lang, n_tokens, n_bpe, filter_reasons,
+    exact_rep (min doc_id of its md5 group), component_id (near-dup
+    cluster), kept (passed quality AND is its cluster's representative).
+    The caller filters ``kept`` for the curated corpus; keeping the full
+    verdict table makes every drop auditable (report.jsonl discipline).
+    """
+    from ..operators.coref import connected_components_global
+    from ..operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+    from ..operators.textstats import lang_id, quality_filter
+
+    # narrow per-doc stages (single scan each, pure Catalyst)
+    quality = quality_filter(docs)  # (doc_id, n_tokens, filter_reasons, kept)
+    langs = lang_id(docs)  # (doc_id, pred_lang, hits)
+    bpe_pat = r"'[a-z]+|[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+    tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(bpe_pat), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+    # exact dedup: representative = min doc_id per md5(text)
+    exact = exact_dedup_groups(docs).select(
+        F.col("text_hash"), F.col("min_doc_id").alias("exact_rep")
+    )
+    doc_hash = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    exact_rep = doc_hash.join(exact, "text_hash").select("doc_id", "exact_rep")
+
+    # near-dup clustering: LSH-blocked pairs -> global CC; singleton docs
+    # label themselves
+    pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold).select(
+        "doc_a", "doc_b"
+    )
+    comps = connected_components_global(
+        pairs,
+        src="doc_a",
+        dst="doc_b",
+        check_every=2,
+        checkpoint_dir=cc_checkpoint_dir,
+    ).withColumnRenamed("node", "doc_id")
+
+    out = (
+        tokens.join(quality.select("doc_id", "n_tokens", "filter_reasons"), "doc_id")
+        .join(langs.select("doc_id", "pred_lang"), "doc_id", "left")
+        .join(exact_rep, "doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn(
+            "component_id", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        .drop("component")
+    )
+    # representative = min doc_id among the QUALITY-PASSING members of each
+    # near-dup component (exact dupes share a component: identical token
+    # sets collide in every LSH band). A component whose every member fails
+    # quality keeps nothing; exact_rep stays as the audit column attributing
+    # exact-duplicate collapses.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("component_id")
+    rep = F.min(
+        F.when(F.col("filter_reasons") == 0, F.col("doc_id"))
+    ).over(w)
+    return out.withColumn(
+        "kept", (F.col("filter_reasons") == 0) & (F.col("doc_id") == rep)
+    )
+
+
+def run_dataprep(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str = "dataprep",
+    n_buckets: int = 8,
+    near_dup_threshold: float = 0.95,
+) -> dict:
+    """Full curation job: verdict table -> bucketed committed write of the
+    KEPT corpus + stage counters. Returns the counters dict (also appended
+    to ``<out_dir>/_metrics.jsonl``)."""
+    from .lineage import write_bucketed, write_metrics
+
+    verdict = curate_documents(docs, near_dup_threshold).localCheckpoint(
+        eager=True
+    )
+    agg = verdict.agg(
+        F.count("*").alias("n_input"),
+        F.sum((F.col("filter_reasons") != 0).cast("long")).alias("n_quality_drop"),
+        F.sum(
+            ((F.col("filter_reasons") == 0) & ~F.col("kept")).cast("long")
+        ).alias("n_dup_drop"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.countDistinct("component_id").alias("n_components"),
+    ).first()
+    counters = {k: int(agg[k]) for k in agg.asDict()}
+
+    results = write_bucketed(
+        verdict.filter(F.col("kept")).select(
+            "doc_id", "pred_lang", "n_tokens", "n_bpe", "component_id"
+        ),
+        out_dir,
+        run_id=run_id,
+        key_col="doc_id",
+        n_buckets=n_buckets,
+        stage="dataprep",
+        sort_cols=["doc_id"],
+    )
+    counters["n_buckets_written"] = sum(0 if r.skipped else 1 for r in results)
+    write_metrics(out_dir, run_id, "dataprep", counters)
+    return counters

@@ -732,6 +732,18 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_codec_features", None)  # real WAV/PPM decode; exact pytest gates
+def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (no stub): spec-conformant RIFF/WAVE + PPM payloads
+    decoded with numpy byte parsing inside mapInPandas — sample rate /
+    duration / RMS for audio, dimensions / channel means for images.
+    Cross-checked against Python's stdlib ``wave`` reader in pytest."""
+    from ..operators.multimodal import decode_media, synth_real_media
+
+    media = synth_real_media(_read(spark, sf_dir, "documents"))
+    return decode_media(media)
+
+
 # --------------------------------------------------------------------------
 # classic OLAP coverage over the TPC-H-ish tables (scan/filter/join/agg/
 # window/sort/set ops — SURVEY.md §2.2-2.7 operator families). Money is
@@ -2112,6 +2124,7 @@ _REGISTRY_ORDER = [
     "emb_lsh_buckets",
     "media_frame_sample",
     "media_decode",
+    "media_codec_features",
 ]
 
 assert set(_REGISTRY_ORDER) == set(QUERIES), (

@@ -2041,6 +2041,46 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
+@register(
+    "q17_small_quantity_revenue",
+    # correlated scalar subquery (per-part average) decorrelated as a
+    # window aggregate; integer-cent output; 10*avg vs 10*qty avoids
+    # float-division drift between engines
+    """SELECT COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity * 10 < 2 * (
+    SELECT SUM(l2.l_quantity) * 10 / COUNT(*) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average threshold. The
+    subquery decorrelates into ONE window aggregate over the fact scan —
+    no self-join, one shuffle on l_partkey (what Catalyst's decorrelation
+    would emit, declared directly)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    avg10 = F.sum("l_quantity").over(w) * 10 / F.count("*").over(w)
+    flagged = li.withColumn("avg10", avg10).filter(
+        F.col("l_quantity") * 10 < 2 * F.col("avg10")
+    )
+    return flagged.join(F.broadcast(p), flagged.l_partkey == p.p_partkey).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_c"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry order (drives the driver's CORRECTNESS window): the driver
 # oracle-checks the FIRST 50 entries, so the window is exactly the 50
@@ -2113,6 +2153,7 @@ _REGISTRY_ORDER = [
     "lineitem_rank_in_order",
     # ---- driver window boundary (first 50 above are ALL oracle-checked) ----
     "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "events_session_windows",
     "kg_triples_with_compounds",
     "doc_minhash_pairs",

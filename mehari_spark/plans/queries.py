@@ -2081,6 +2081,97 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q20_heavy_red_suppliers",
+    # nested semi-join chain: suppliers qualified by an aggregate-HAVING
+    # subquery over a LIKE-filtered part join (partsupp-free q20 shape)
+    """SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'red%'
+  GROUP BY l.l_suppkey
+  HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 500
+)""",
+)
+def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN-subquery with GROUP BY + HAVING, expressed as an
+    aggregate -> left-semi join; the nation dim broadcasts."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 500)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(heavy, "s_suppkey", "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    # global-average scalar subquery + NOT EXISTS anti-join (q22 shape;
+    # nation-key bucket stands in for the phone country code)
+    """WITH avg_bal AS (
+  SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / COUNT(*) AS ab_c
+  FROM customer WHERE c_acctbal > 0 AND (c_nationkey % 7) IN (0, 1, 2)
+)
+SELECT (c.c_nationkey % 7) AS cntry, COUNT(*)::BIGINT AS numcust,
+       SUM(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT AS totacctbal_c
+FROM customer c, avg_bal
+WHERE (c.c_nationkey % 7) IN (0, 1, 2)
+  AND CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.ab_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY (c.c_nationkey % 7)""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar-average threshold (computed once,
+    broadcast as a cross join of a 1-row aggregate), NOT EXISTS as a
+    left-anti join on the urgent-orders subset (every customer has SOME
+    order in this data, so the classic no-orders predicate is degenerate;
+    no-URGENT-order keeps the anti-join selective), bucketed rollup.
+    Integer-cent arithmetic keeps the threshold comparison engine-exact."""
+    c = _read(spark, sf_dir, "customer").withColumn(
+        "cntry", F.pmod("c_nationkey", F.lit(7))
+    ).filter(F.col("cntry").isin(0, 1, 2)).withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum("bal_c") / F.count("*")).alias("ab_c")
+    )
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_c") > F.col("ab_c"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("cntry")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry order (drives the driver's CORRECTNESS window): the driver
 # oracle-checks the FIRST 50 entries, so the window is exactly the 50
@@ -2154,6 +2245,8 @@ _REGISTRY_ORDER = [
     # ---- driver window boundary (first 50 above are ALL oracle-checked) ----
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "q20_heavy_red_suppliers",
+    "q22_idle_rich_customers",
     "events_session_windows",
     "kg_triples_with_compounds",
     "doc_minhash_pairs",

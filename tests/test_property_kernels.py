@@ -76,3 +76,32 @@ def test_minhash_deterministic_and_permutation_invariant(toks):
     s1 = minhash_signature(hash_tokens(sorted(set(toks))), a, b)
     s2 = minhash_signature(hash_tokens(sorted(set(reversed(toks)))), a, b)
     assert (s1 == s2).all()  # signature depends on the SET only
+
+
+@settings(max_examples=300, deadline=None)
+@given(seed=st.integers(0, 10**9))
+def test_wav_codec_roundtrip_any_seed(seed):
+    # decoder(encoder(seed)) recovers the generator's parameters exactly,
+    # whatever bytes the PCM payload happens to contain
+    from mehari_spark.operators.multimodal import _parse_wav, synth_wav_bytes
+
+    parsed = _parse_wav(synth_wav_bytes(seed))
+    assert parsed is not None
+    sr, n, dur, rms = parsed
+    assert sr == 8000
+    assert n == 800 + (seed % 5) * 80
+    assert dur == n * 1000 // 8000
+    assert 340 <= rms <= 360  # sine RMS ~ 0.5/sqrt(2) regardless of freq
+
+
+@settings(max_examples=300, deadline=None)
+@given(seed=st.integers(0, 10**9))
+def test_ppm_codec_roundtrip_any_seed(seed):
+    # header parsing must survive raster bytes that look like whitespace
+    # or header characters ('P', '#', digits) at any position
+    from mehari_spark.operators.multimodal import _parse_ppm, synth_ppm_bytes
+
+    parsed = _parse_ppm(synth_ppm_bytes(seed))
+    assert parsed is not None
+    w, h, _r, _g, _b = parsed
+    assert (w, h) == (8 + seed % 16, 6 + seed % 10)

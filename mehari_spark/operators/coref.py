@@ -100,8 +100,13 @@ def _cc_round_dir(checkpoint_dir: str, rnd: int) -> str:
     return os.path.join(checkpoint_dir, f"round_{rnd:04d}")
 
 
-def load_cc_checkpoint(spark, checkpoint_dir: str):
-    """-> (labels_df | None, rounds_done) from a durable CC checkpoint dir."""
+def load_cc_checkpoint(spark, checkpoint_dir: str, graph_id: dict | None = None):
+    """-> (labels_df | None, rounds_done) from a durable CC checkpoint dir.
+
+    ``graph_id`` (edge-set fingerprint + edge count, as written by
+    ``connected_components_global``) guards identity: a checkpoint written
+    for a DIFFERENT edge set is ignored (fresh start) instead of silently
+    returning components of the old graph."""
     import json
     import os
 
@@ -110,6 +115,10 @@ def load_cc_checkpoint(spark, checkpoint_dir: str):
         return None, 0
     with open(manifest) as f:
         rec = json.load(f)
+    if graph_id is not None:
+        stored = {k: rec.get(k) for k in graph_id}
+        if stored != graph_id:
+            return None, 0
     rnd = int(rec["round"])
     return spark.read.parquet(_cc_round_dir(checkpoint_dir, rnd)), rnd
 
@@ -172,8 +181,15 @@ def connected_components_global(
 
     rounds = 0
     labels = None
+    graph_id = None
     if checkpoint_dir is not None:
-        labels, rounds = load_cc_checkpoint(spark, checkpoint_dir)
+        # identity of THIS graph: order-independent fingerprint + count of
+        # the canonical symmetric edge set (stable under input edge order,
+        # direction, and duplicates) — a stale checkpoint for a different
+        # edge set is detected and ignored, never silently resumed
+        fp = sym.agg(F.bit_xor(F.xxhash64("u", "v"))).first()[0]
+        graph_id = {"edge_fp": int(fp) if fp is not None else 0, "n_edges": n_edges}
+        labels, rounds = load_cc_checkpoint(spark, checkpoint_dir, graph_id)
     if labels is None:
         labels = (
             sym.groupBy("u")
@@ -216,8 +232,18 @@ def connected_components_global(
             jumped.write.mode("overwrite").parquet(rd)
             tmp = os.path.join(checkpoint_dir, "_cc_manifest.tmp")
             with open(tmp, "w") as f:
-                json.dump({"round": rounds, "path": rd}, f)
+                json.dump({"round": rounds, "path": rd, **(graph_id or {})}, f)
             os.replace(tmp, os.path.join(checkpoint_dir, "_cc_manifest.json"))
+            # superseded round dirs are dead weight once the manifest moved
+            # on — retain the newest TWO (a just-resumed ``labels`` df may
+            # still have lineage into the previous round's files)
+            import shutil
+
+            kept = sorted(
+                d for d in os.listdir(checkpoint_dir) if d.startswith("round_")
+            )
+            for old in kept[:-2]:
+                shutil.rmtree(os.path.join(checkpoint_dir, old), ignore_errors=True)
             new_labels = spark.read.parquet(rd)
         else:
             new_labels = jumped.localCheckpoint(eager=True)

@@ -46,7 +46,10 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.95, within: tuple[str, ...] = ("lang",)
+    docs: DataFrame,
+    threshold: float = 0.95,
+    within: tuple[str, ...] = ("lang",),
+    max_docs: int = 100_000,
 ) -> DataFrame:
     """Doc pairs with token-set Jaccard >= threshold, blocked by ``within``
     columns (() = global).
@@ -54,7 +57,20 @@ def ngram_jaccard_pairs(
     Inverted-index join: explode distinct tokens, equi-join on (within…, token),
     count intersections, compute J = ni / (na + nb - ni). The shuffle key is
     the join key; hot tokens are the skew risk — AQE skew-join splits them.
+
+    SCALE GUARD: this is the EXACT baseline — the postings self-join is
+    worst-case quadratic in docs sharing a token, so it refuses corpora
+    above ``max_docs`` rows. The production path at scale is
+    ``minhash_lsh_pairs`` (banded MinHash blocking + exact re-rank), which
+    this function exists to validate.
     """
+    n_docs = docs.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the exact all-pairs baseline and is "
+            f"capped at {max_docs} docs (got {n_docs}); use "
+            f"minhash_lsh_pairs (operators/dedup.py) for corpora at scale"
+        )
     toks = _doc_tokens(docs)
     sizes = toks.select("doc_id", F.size("toks").alias("n_toks"))
     posts = toks.select("doc_id", *within, F.explode("toks").alias("tok"))

@@ -36,6 +36,7 @@ from ..schemas import MENTIONS_DDL
 _AC_CACHE: dict[str, TokenAhoCorasick] = {}
 _AC_CACHE_MAX = 4
 _AC_BUILDS = 0  # diagnostic: automaton compilations in this process
+_AC_HITS = 0  # diagnostic: cache hits (reuses) in this process
 
 
 def dict_fingerprint(patterns: list[DictPattern]) -> str:
@@ -54,14 +55,19 @@ def dict_fingerprint(patterns: list[DictPattern]) -> str:
 
 
 def _automaton(bc_id: str, patterns: list[DictPattern]) -> TokenAhoCorasick:
-    global _AC_BUILDS
-    ac = _AC_CACHE.get(bc_id)
+    global _AC_BUILDS, _AC_HITS
+    ac = _AC_CACHE.pop(bc_id, None)
     if ac is None:
         ac = TokenAhoCorasick([(p.tokens, p) for p in patterns])
         _AC_BUILDS += 1
-        while len(_AC_CACHE) >= _AC_CACHE_MAX:  # evict oldest dictionary version
+        while len(_AC_CACHE) >= _AC_CACHE_MAX:  # evict LEAST-RECENTLY-USED
             _AC_CACHE.pop(next(iter(_AC_CACHE)))
-        _AC_CACHE[bc_id] = ac
+    else:
+        _AC_HITS += 1
+    # pop + reinsert on every access keeps dict order = recency order, so
+    # the eviction above is true LRU (insertion-order eviction could evict
+    # the HOTTEST automaton with >MAX live dictionary versions)
+    _AC_CACHE[bc_id] = ac
     return ac
 
 

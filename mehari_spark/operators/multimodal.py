@@ -69,7 +69,7 @@ def _decode_batch(pdf: pd.DataFrame, dim: int, fake: bool) -> pd.DataFrame:
         {
             "media_id": pdf["media_id"].astype("int64"),
             "kind": pdf["kind"],
-            "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int64"),
+            "n_bytes": pdf["n_bytes"].astype("int64"),
             "features": feats,
         }
     )
@@ -78,14 +78,21 @@ def _decode_batch(pdf: pd.DataFrame, dim: int, fake: bool) -> pd.DataFrame:
 def decode_features(
     media: DataFrame, dim: int = 32, fake: bool = True
 ) -> DataFrame:
-    """media -> (media_id, kind, n_bytes, features array<float>) via
-    mapInPandas; the decode kernel is the stub point."""
+    """media -> (media_id, kind, n_bytes, features array<float>); the
+    decode kernel (mapInPandas) is the stub point. n_bytes is computed
+    JVM-side (F.length, free in Catalyst) BEFORE the kernel and rides the
+    Arrow batch through — the Python loop only does the decode."""
 
     def run(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield _decode_batch(pdf, dim, fake)
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    return media.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.coalesce(F.length("payload"), F.lit(0)).cast("long").alias("n_bytes"),
+    ).mapInPandas(
         run, schema="media_id long, kind string, n_bytes long, features array<float>"
     )
 
@@ -228,11 +235,15 @@ def _parse_wav(buf: bytes):
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt chunk: soft-fail, not struct.error
+                return None
             _fmt, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)
-    if sr is None or data is None or bits != 16 or channels != 1:
+    if sr is None or not sr or data is None or bits != 16 or channels != 1:
+        return None
+    if len(data) % 2:  # odd data length can't be int16 samples: soft-fail
         return None
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
@@ -292,8 +303,15 @@ def decode_media(media: DataFrame) -> DataFrame:
                 pdf["payload"].tolist(),
             ):
                 buf = bytes(payload or b"")
-                wav = _parse_wav(buf) if kind == "audio" else None
-                ppm = _parse_ppm(buf) if kind == "image" else None
+                # soft-fail contract: a malformed payload must yield a
+                # 'corrupt' row, never a task-killing exception — the
+                # parsers guard known failure shapes, this catch-all
+                # covers the rest (hostile bytes are data, not errors)
+                try:
+                    wav = _parse_wav(buf) if kind == "audio" else None
+                    ppm = _parse_ppm(buf) if kind == "image" else None
+                except Exception:
+                    wav = ppm = None
                 if wav:
                     sr, n, dur, rms = wav
                     rows.append((mid, "audio", sr, n, dur, rms, None, None, None, None, None))

@@ -671,10 +671,21 @@ def emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for embedding near-dup is cell blocking with the trained IVF
     quantizer (similarity.ivf_topk) or hyperplane LSH at genuinely-high
     thresholds — at cos 0.4 (66 deg) no LSH family blocks usefully, which
-    is itself the documented reason the exact path is the baseline here."""
+    is itself the documented reason the exact path is the baseline here.
+
+    SCALE GUARD: all-pairs is quadratic — refuses corpora above 100k
+    vectors; use emb_near_dup_lsh (banded hyperplane LSH + exact re-rank)
+    for near-dup detection at scale."""
     from ..operators.similarity import _dot, _norm
 
     emb = _read(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    if n_vecs > 100_000:
+        raise ValueError(
+            f"emb_cosine_pairs is the exact all-pairs baseline and is capped "
+            f"at 100000 vectors (got {n_vecs}); use emb_near_dup_lsh "
+            f"(operators/similarity.embedding_near_dup_lsh) at scale"
+        )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).withColumn(
@@ -2261,12 +2272,16 @@ _REGISTRY_ORDER = [
     "media_codec_features",
 ]
 
-assert set(_REGISTRY_ORDER) == set(QUERIES), (
-    sorted(set(_REGISTRY_ORDER) ^ set(QUERIES))
-)
-assert all(
-    QUERIES[n][1] is not None for n in _REGISTRY_ORDER[:50]
-), "driver window must be 100% oracle-checked"
+# load-bearing invariants: explicit raises, NOT `assert` — asserts are
+# stripped under `python -O`, which would silently disable the
+# driver-window guard
+if set(_REGISTRY_ORDER) != set(QUERIES):
+    raise RuntimeError(
+        "registry order out of sync with registered queries: "
+        f"{sorted(set(_REGISTRY_ORDER) ^ set(QUERIES))}"
+    )
+if not all(QUERIES[n][1] is not None for n in _REGISTRY_ORDER[:50]):
+    raise RuntimeError("driver window (first 50) must be 100% oracle-checked")
 _reordered = {n: QUERIES[n] for n in _REGISTRY_ORDER}
 QUERIES.clear()
 QUERIES.update(_reordered)

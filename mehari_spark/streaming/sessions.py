@@ -111,7 +111,21 @@ def finalize_stream(
     trailing session row is emitted), then stops the query. The sentinel
     never reaches the aggregation (stream_sessions filters SENTINEL_USER
     after the watermark node), so the output needs no post-hoc cleanup.
+
+    The source dataset is left unmutated: the sentinel part-files written
+    into ``input_dir`` are removed after the query stops, so later batch
+    reads (oracle checks, re-runs) never see the synthetic far-future
+    event, and repeated finalize calls can't accumulate sentinels that
+    keep shifting max(ts) forward.
     """
+    import glob
+
+    def _files() -> set[str]:
+        return set(
+            glob.glob(os.path.join(input_dir, "**", "*"), recursive=True)
+        )
+
+    before = _files()
     mx = (
         spark.read.schema(EVENTS_DDL)
         .parquet(input_dir)
@@ -129,5 +143,12 @@ def finalize_stream(
         (F.col("ts") + F.expr(f"INTERVAL {horizon}")).alias("ts"),
     )
     sentinel.write.mode("append").parquet(input_dir)
-    query.processAllAvailable()
-    query.stop()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        for path in sorted(_files() - before, reverse=True):
+            try:
+                os.remove(path) if os.path.isfile(path) else os.rmdir(path)
+            except OSError:
+                pass

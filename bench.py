@@ -80,7 +80,13 @@ def main() -> None:
     # the plan is BUILT, so timing only the count would hide their cost.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    from mehari_spark.plans.stagecache import clear_shared_stages
+
     for run_i in range(n_runs):
+        # shared stages (e.g. the MinHash pairs both dedup queries consume)
+        # are REAL pipeline reuse within a rep, but reuse across reps would
+        # measure the cache, not the code: start each rep cold
+        clear_shared_stages()
         for name in HEADLINE:
             fn, _oracle = QUERIES[name]
             t0 = time.time()

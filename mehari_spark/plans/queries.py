@@ -414,11 +414,29 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_pairs_stage(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs as a SHARED STAGE: both consumers
+    (doc_minhash_pairs reporting, doc_dedup_clusters_lsh clustering) reuse
+    one persisted computation per session instead of re-mining signatures
+    and candidates from the raw corpus — the session-local form of the
+    materialized signature table a 100 TB pipeline would write."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from .stagecache import shared_stage
+
+    return shared_stage(
+        spark,
+        ("minhash_pairs", sf_dir, threshold),
+        lambda: minhash_lsh_pairs(
+            _read(spark, sf_dir, "documents"), threshold=threshold
+        ),
+    )
+
+
 @register("doc_minhash_pairs", None)  # LSH blocking: rows-only; recall tested in pytest
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.95)
+    return _minhash_pairs_stage(spark, sf_dir, threshold=0.95)
 
 
 @register("doc_dedup_clusters_lsh", None)  # LSH edges: rows-only; recall in pytest
@@ -428,11 +446,10 @@ def doc_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     as doc_dedup_clusters but with the scale-safe edge generator; pytest
     asserts every exact-path cluster co-assignment is preserved."""
     from ..operators.coref import connected_components_global
-    from ..operators.dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.95
-    ).select("doc_a", "doc_b")
+    pairs = _minhash_pairs_stage(spark, sf_dir, threshold=0.95).select(
+        "doc_a", "doc_b"
+    )
     # check_every=2: fingerprint agg every other round (measured -0.5s of
     # fixed per-round cost at sf0.1; the 1-2 extra lazy rounds are cheaper
     # than the skipped convergence jobs)

@@ -197,6 +197,25 @@ class TestScaleGuards:
         assert ngram_jaccard_pairs(docs, max_docs=10).count() > 0
 
 
+class TestSharedStageCache:
+    def test_minhash_pairs_stage_reused_and_clearable(self, spark):
+        from mehari_spark.plans.queries import _minhash_pairs_stage
+        from mehari_spark.plans.stagecache import _CACHE, clear_shared_stages
+
+        clear_shared_stages()
+        sf = "/root/testdata/sf0.001"
+        a = _minhash_pairs_stage(spark, sf)
+        b = _minhash_pairs_stage(spark, sf)
+        assert a is b  # second consumer reuses the persisted stage
+        assert a.storageLevel.useMemory  # actually persisted
+        n = a.count()
+        assert n > 0
+        clear_shared_stages()
+        assert not _CACHE
+        c = _minhash_pairs_stage(spark, sf)
+        assert c is not a and c.count() == n  # cold rebuild, same result
+
+
 class TestDecodeFeaturesNBytes:
     def test_n_bytes_matches_payload_length(self, spark):
         from mehari_spark.operators.multimodal import decode_features

@@ -1338,36 +1338,64 @@ def dict_build_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kg_canonicalized_triples",
-    # the oracle hand-closes the CANON_RULES corpus over the ids that occur:
-    # 103->101 (umbrella), 105->150->151 (2-hop chain, rank override 42),
-    # 109->108, 106 identity-with-rank-66, 110 suppressed; canon_rank is the
-    # chain override else the KB rank of the FINAL id
-    f"""WITH {_TRIPLES_CTE}
-SELECT conv_id, turn_idx, subj_id,
-       CASE pred_id WHEN 103 THEN 101 WHEN 105 THEN 151 WHEN 109 THEN 108
-            ELSE pred_id END AS pred_id,
-       obj_id,
-       (CASE pred_id WHEN 101 THEN 1 WHEN 103 THEN 1 WHEN 105 THEN 42
-             WHEN 106 THEN 66 WHEN 108 THEN 8 WHEN 109 THEN 8 END)::INTEGER
+    # the oracle hand-closes the TWO-PHASE rule corpus over the occurring
+    # ids. Phase 1 (context special cases, first-match-wins by priority):
+    # 109 on turn%3=0 -> 105 (enters the scan chain), 103 on even turns ->
+    # 108 (shadows the lower-priority turn%4 rule), 108 on turn%7=3 -> 150,
+    # 106 with obj>subj suppressed, 101 on turn 0 rank-override 99.
+    # Phase 2 (closed chains): 103->101, 105/150->151 (override 42),
+    # 109->108, 106 rank 66, 110 suppressed. canon_rank = chain override,
+    # else ctx override, else KB rank of the final id (last-wins).
+    f"""WITH {_TRIPLES_CTE},
+p1 AS (
+  SELECT conv_id, turn_idx, subj_id,
+         CASE WHEN pred_id = 109 AND turn_idx % 3 = 0 THEN 105
+              WHEN pred_id = 103 AND turn_idx % 2 = 0 THEN 108
+              WHEN pred_id = 108 AND turn_idx % 7 = 3 THEN 150
+              ELSE pred_id END AS pred_id,
+         obj_id,
+         CASE WHEN pred_id = 101 AND turn_idx = 0 THEN 99 END AS ctx_rank
+  FROM triples
+  WHERE NOT (pred_id = 106 AND obj_id > subj_id)
+),
+p2 AS (
+  SELECT conv_id, turn_idx, subj_id,
+         CASE pred_id WHEN 103 THEN 101 WHEN 105 THEN 151 WHEN 150 THEN 151
+              WHEN 109 THEN 108 ELSE pred_id END AS pred_id,
+         obj_id,
+         COALESCE(
+           CASE pred_id WHEN 105 THEN 42 WHEN 150 THEN 42 WHEN 106 THEN 66 END,
+           ctx_rank) AS rank_pre
+  FROM p1 WHERE pred_id <> 110
+)
+SELECT conv_id, turn_idx, subj_id, pred_id, obj_id,
+       COALESCE(rank_pre,
+         CASE pred_id WHEN 101 THEN 1 WHEN 108 THEN 8 END)::INTEGER
          AS canon_rank
-FROM triples WHERE pred_id <> 110""",
+FROM p2""",
 )
 def kg_canonicalized_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalizer with the full rule CORPUS (12 rules: umbrella rewrites,
-    chained rewrites through synthetic ids, suppressions, rank overrides and
-    a defensive cycle pair — adjust_vep_terms +
-    consequences_fix_special_cases analogs, logic.rs:1054-1371; disagreement
-    cases pytest-pinned like vep.disagreement-cases.expected.vcf)."""
+    """Canonicalizer with the full TWO-PHASE rule corpus (26 rules:
+    context-conditional special cases with conflicting priorities and
+    context suppressions, then umbrella rewrites, multi-hop chains with
+    last-wins rank overrides, suppressing chains, cycle defense —
+    adjust_vep_terms + consequences_fix_special_cases analogs,
+    logic.rs:1054-1371; disagreement cases pytest-pinned like
+    vep.disagreement-cases.expected.vcf)."""
     from ..dictionary import predicate_kb_df
-    from ..operators.canonicalize import CANON_RULES, canonicalize_full
+    from ..operators.canonicalize import (
+        CANON_RULES,
+        CONTEXT_RULES,
+        canonicalize_corpus,
+    )
 
     m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
     t = assemble_triples(m).select(
         "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
     )
-    return canonicalize_full(t, CANON_RULES, predicate_kb_df(spark)).select(
-        "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id", "canon_rank"
-    )
+    return canonicalize_corpus(
+        t, CONTEXT_RULES, CANON_RULES, predicate_kb_df(spark)
+    ).select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id", "canon_rank")
 
 
 @register(

@@ -2003,6 +2003,219 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    # share arithmetic stays in BIGINT end to end: per-row cents, integer
+    # SUMs, then share_ppm = nation_rev * 1e6 DIV total_rev — bit-identical
+    # in both engines, no float division anywhere
+    """WITH vol AS (
+  SELECT CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev_c,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type LIKE 'STANDARD%'
+)
+SELECT o_year,
+       SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END)::BIGINT AS nation_rev_c,
+       SUM(rev_c)::BIGINT AS total_rev_c,
+       (SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END) * 1000000
+          // SUM(rev_c))::BIGINT AS share_ppm
+FROM vol GROUP BY o_year""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: two-level market-share agg — restrict the volume to
+    (region of the CUSTOMER, part type), then per year compute one
+    nation's share of it. Conditional numerator and unconditional
+    denominator in ONE aggregation pass (no self-join, no second scan);
+    all five dims broadcast, the only shuffle is the year rollup."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("STANDARD%"))
+        .select("p_partkey")
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nation = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("snk"))
+        .select(
+            F.year("l_shipdate").alias("o_year"),
+            rev_c.alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    is_target = F.col("supp_nation") == "NATION_2"
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(F.when(is_target, F.col("rev_c")).otherwise(F.lit(0))).alias(
+                "nation_rev_c"
+            ),
+            F.sum("rev_c").alias("total_rev_c"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_c",
+            "total_rev_c",
+            F.expr("nation_rev_c * 1000000 DIV total_rev_c").alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    """WITH v AS (
+  SELECT l.l_partkey,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS value_c
+  FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value_c FROM v
+WHERE value_c * 10000 > (SELECT SUM(value_c) FROM v)""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar — parts whose
+    EUROPE-supplied value exceeds 1/10000 of the total. The per-part agg
+    is computed once; the global total is a 1-row re-agg of it broadcast
+    back (no second fact scan, integer-only comparison)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "value_c"
+            )
+        )
+    )
+    total = v.agg(F.sum("value_c").alias("total_c"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 10000 > F.col("total_c"))
+        .select("l_partkey", "value_c")
+    )
+
+
+@register(
+    "q14_promo_share",
+    """SELECT
+  SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+       ELSE 0 END)::BIGINT AS promo_rev_c,
+  SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS total_rev_c,
+  (SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+       ELSE 0 END) * 1000000
+     // SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)))::BIGINT
+    AS promo_share_ppm
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' AND l.l_shipdate < TIMESTAMP '1996-10-01'""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional share of total in one pass — promo
+    revenue over total revenue for one ship month, share as integer ppm.
+    Date filter pushes to the fact scan; part dim broadcast."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev_c).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_rev_c"),
+            F.sum(rev_c).alias("total_rev_c"),
+        )
+        .select(
+            "promo_rev_c",
+            "total_rev_c",
+            F.expr("promo_rev_c * 1000000 DIV total_rev_c").alias(
+                "promo_share_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_c
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev_c = (SELECT MAX(total_rev_c) FROM revenue)""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: view + global argmax — quarterly revenue per
+    supplier (the 'view'), then the supplier(s) hitting the global max.
+    The max is a 1-row re-agg of the view broadcast back; ties all
+    surface, exactly as the reference view semantics demand."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("total_rev_c")
+    )
+    mx = revenue.agg(F.max("total_rev_c").alias("max_rev_c"))
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_c") == F.col("max_rev_c"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+    )
+
+
+@register(
     "q21_waiting_suppliers",
     """WITH l AS (
   SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
@@ -2303,6 +2516,10 @@ _REGISTRY_ORDER = [
     "q17_small_quantity_revenue",
     "q20_heavy_red_suppliers",
     "q22_idle_rich_customers",
+    "q8_market_share",
+    "q11_important_parts",
+    "q14_promo_share",
+    "q15_top_supplier",
     "events_session_windows",
     "kg_triples_with_compounds",
     "doc_minhash_pairs",

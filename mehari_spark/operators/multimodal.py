@@ -190,9 +190,13 @@ def synth_ppm_bytes(seed: int) -> bytes:
 
 
 def synth_real_media(docs: DataFrame) -> DataFrame:
-    """A media table whose payloads are REAL files (WAV for even doc_ids,
-    PPM for odd) — generated inside mapInPandas so the bytes never pass
-    through the driver."""
+    """A media table whose payloads are REAL files (audio for even doc_ids,
+    images for odd), rotating over all four codecs — PCM WAV (id%4=0),
+    mu-law WAV (id%4=2), PPM (id%4=1), BMP (id%4=3) — generated inside
+    mapInPandas so the bytes never pass through the driver."""
+
+    def payload_for(i: int) -> bytes:
+        return [synth_wav_bytes, synth_ppm_bytes, synth_mulaw_wav_bytes, synth_bmp_bytes][i % 4](i)
 
     def gen(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -205,11 +209,7 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
                         dtype="object",
                     ),
                     "payload": pd.Series(
-                        [
-                            synth_wav_bytes(i) if i % 2 == 0 else synth_ppm_bytes(i)
-                            for i in ids
-                        ],
-                        dtype="object",
+                        [payload_for(i) for i in ids], dtype="object"
                     ),
                 }
             )
@@ -217,6 +217,108 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         gen, schema="media_id long, kind string, payload binary"
     )
+
+
+# --- G.711 mu-law (8-bit companded PCM, the second real audio codec) ---
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> 8-bit mu-law bytes (vectorized G.711)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = position of the highest set bit above bit 7 (0..7)
+    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    exponent = np.clip(exponent, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """8-bit mu-law bytes -> int16 linear PCM (vectorized G.711)."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def synth_mulaw_wav_bytes(seed: int) -> bytes:
+    """A valid mono 8-bit mu-law (format 7) RIFF/WAVE file carrying the
+    SAME sine tone as synth_wav_bytes(seed), companded."""
+    import struct
+
+    sr = 8000
+    n = 800 + (seed % 5) * 80
+    freq = 200.0 + (seed % 20) * 20.0
+    t = np.arange(n, dtype=np.float64) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    data = mulaw_encode(pcm).tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 7, 1, sr, sr, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def synth_bmp_bytes(seed: int) -> bytes:
+    """A valid 24-bit uncompressed (BI_RGB) bottom-up BMP carrying the
+    SAME gradient as synth_ppm_bytes(seed): 14-byte file header + 40-byte
+    BITMAPINFOHEADER + 4-byte-padded BGR rows."""
+    import struct
+
+    w = 8 + (seed % 16)
+    h = 6 + (seed % 10)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx + yy + seed).astype(np.int64)
+    rgb = np.stack(
+        [(base % 256), ((base * 3) % 256), ((base * 7) % 256)], axis=-1
+    ).astype(np.uint8)
+    bgr = rgb[:, :, ::-1]
+    row_size = (w * 3 + 3) // 4 * 4
+    raster = np.zeros((h, row_size), dtype=np.uint8)
+    raster[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = raster[::-1].tobytes()  # bottom-up row order
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + dib + body
+
+
+def _parse_bmp(buf: bytes):
+    """24-bit BI_RGB BMP -> (w, h, mean_r, mean_g, mean_b); None on
+    anything malformed or any other BMP variant (soft-fail)."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    (off,) = struct.unpack("<I", buf[10:14])
+    dib_size, w, h_raw = struct.unpack("<Iii", buf[14:26])
+    planes, bpp = struct.unpack("<HH", buf[26:30])
+    (compression,) = struct.unpack("<I", buf[30:34])
+    if dib_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        return None
+    row_size = (w * 3 + 3) // 4 * 4
+    if off + row_size * h > len(buf):
+        return None
+    raster = np.frombuffer(buf, dtype=np.uint8, offset=off, count=row_size * h)
+    rows = raster.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    bgr_means = rows.reshape(-1, 3).mean(axis=0)
+    return w, h, int(bgr_means[2]), int(bgr_means[1]), int(bgr_means[0])
 
 
 def _parse_wav(buf: bytes):
@@ -241,11 +343,17 @@ def _parse_wav(buf: bytes):
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)
-    if sr is None or not sr or data is None or bits != 16 or channels != 1:
+    if sr is None or not sr or data is None or channels != 1:
         return None
-    if len(data) % 2:  # odd data length can't be int16 samples: soft-fail
+    if _fmt == 1 and bits == 16:
+        if len(data) % 2:  # odd data length can't be int16 samples: soft-fail
+            return None
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif _fmt == 7 and bits == 8:  # G.711 mu-law companded PCM
+        codes = np.frombuffer(data, dtype=np.uint8)
+        samples = mulaw_decode(codes).astype(np.float64) / 32768.0
+    else:
         return None
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
     return sr, samples.size, int(samples.size * 1000 // sr), int(round(rms * 1000))
 
@@ -310,6 +418,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                 try:
                     wav = _parse_wav(buf) if kind == "audio" else None
                     ppm = _parse_ppm(buf) if kind == "image" else None
+                    if kind == "image" and ppm is None:
+                        ppm = _parse_bmp(buf)  # second image container
                 except Exception:
                     wav = ppm = None
                 if wav:

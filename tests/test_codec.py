@@ -8,6 +8,7 @@ import io
 import wave
 
 import numpy as np
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from mehari_spark.operators.multimodal import (
@@ -57,6 +58,86 @@ class TestPpmCodec:
             assert r == int((base % 256).mean())
             assert g == int(((base * 3) % 256).mean())
             assert b == int(((base * 7) % 256).mean())
+
+
+class TestMulawCodec:
+    def test_encode_decode_involution_all_codes(self):
+        """encode(decode(b)) == b for every 8-bit code — the classic G.711
+        involution check (each code maps to a distinct quantization cell)."""
+        from mehari_spark.operators.multimodal import mulaw_decode, mulaw_encode
+
+        codes = np.arange(256, dtype=np.uint8)
+        # 0x7F/0xFF both decode to 0 and re-encode to 0xFF (+0): skip the
+        # negative-zero alias, assert the rest round-trips bit-exact
+        keep = codes != 0x7F
+        assert np.array_equal(mulaw_encode(mulaw_decode(codes))[keep], codes[keep])
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32635, max_value=32635), min_size=1, max_size=200
+        )
+    )
+    def test_roundtrip_error_bounded(self, xs):
+        """decode(encode(x)) within one top-segment quantization step."""
+        from mehari_spark.operators.multimodal import mulaw_decode, mulaw_encode
+
+        x = np.asarray(xs, dtype=np.int16)
+        err = np.abs(mulaw_decode(mulaw_encode(x)).astype(np.int32) - x)
+        assert int(err.max()) <= 1024
+
+    def test_mulaw_wav_parses_with_sane_rms(self):
+        from mehari_spark.operators.multimodal import (
+            _parse_wav,
+            synth_mulaw_wav_bytes,
+        )
+
+        for seed in (0, 2, 8, 314):
+            sr, n, dur, rms = _parse_wav(synth_mulaw_wav_bytes(seed))
+            assert sr == 8000 and n == 800 + (seed % 5) * 80
+            assert 350 <= rms <= 357  # 0.5-amp sine RMS survives companding
+
+
+class TestBmpCodec:
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=0, max_value=100_000))
+    def test_bmp_roundtrip_exact(self, seed):
+        from mehari_spark.operators.multimodal import _parse_bmp, synth_bmp_bytes
+
+        w, h, r, g, b = _parse_bmp(synth_bmp_bytes(seed))
+        assert (w, h) == (8 + seed % 16, 6 + seed % 10)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx + yy + seed).astype(np.int64)
+        assert r == int((base % 256).mean())
+        assert g == int(((base * 3) % 256).mean())
+        assert b == int(((base * 7) % 256).mean())
+
+    def test_top_down_variant(self):
+        """Negative height = top-down row order; means are order-invariant
+        so both orientations must decode identically."""
+        import struct
+
+        from mehari_spark.operators.multimodal import _parse_bmp, synth_bmp_bytes
+
+        buf = bytearray(synth_bmp_bytes(9))
+        (off,) = struct.unpack("<I", bytes(buf[10:14]))
+        w, h = struct.unpack("<ii", bytes(buf[18:26]))
+        row = (w * 3 + 3) // 4 * 4
+        body = bytes(buf[off:])
+        flipped = b"".join(
+            body[i * row : (i + 1) * row] for i in reversed(range(h))
+        )
+        buf[18:26] = struct.pack("<ii", w, -h)
+        buf[off:] = flipped
+        assert _parse_bmp(bytes(buf)) == _parse_bmp(synth_bmp_bytes(9))
+
+    def test_malformed_soft_fails(self):
+        from mehari_spark.operators.multimodal import _parse_bmp, synth_bmp_bytes
+
+        good = synth_bmp_bytes(3)
+        assert _parse_bmp(b"BMgarbage") is None
+        assert _parse_bmp(good[:40]) is None  # truncated header
+        assert _parse_bmp(good[:-10]) is None  # truncated raster
 
 
 class TestDecodeMediaSpark:

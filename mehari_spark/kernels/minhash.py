@@ -66,17 +66,31 @@ def minhash_signature(
     return h.min(axis=1)
 
 
+def band_keys_matrix(signatures: np.ndarray, bands: int) -> np.ndarray:
+    """Band bucket keys for a whole BATCH of signatures at once.
+
+    ``signatures``: (n_docs, num_perm) uint64 -> (n_docs, bands) int64.
+    Bit-identical to the scalar ``band_keys`` fold (same chain
+    acc = splitmix64(acc ^ v) over the band's rows, band index salted into
+    the seed), but the fold loop runs ``rows`` vectorized steps over all
+    docs x bands instead of n_docs x num_perm Python-level scalar mixes."""
+    n, num_perm = signatures.shape
+    rows = num_perm // bands
+    # (n, bands, rows): row-major chunks per band
+    chunks = signatures[:, : bands * rows].reshape(n, bands, rows)
+    acc = np.broadcast_to(
+        np.arange(1, bands + 1, dtype=np.uint64), (n, bands)
+    ).copy()
+    for r in range(rows):
+        acc = _splitmix64(acc ^ chunks[:, :, r])
+    return (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
 def band_keys(signature: np.ndarray, bands: int) -> list[int]:
     """One stable 63-bit bucket key per band (band index salted in)."""
-    rows = signature.shape[0] // bands
-    keys = []
-    for bi in range(bands):
-        chunk = signature[bi * rows : (bi + 1) * rows]
-        acc = np.uint64(bi + 1)
-        for v in chunk:
-            acc = _splitmix64(acc ^ np.uint64(v))
-        keys.append(int(acc & np.uint64(0x7FFFFFFFFFFFFFFF)))
-    return keys
+    return band_keys_matrix(
+        np.asarray(signature, dtype=np.uint64)[None, :], bands
+    )[0].tolist()
 
 
 def shingles(text: str, n: int = 3) -> list[str]:

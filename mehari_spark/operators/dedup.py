@@ -16,11 +16,17 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.minhash import band_keys, hash_tokens, minhash_signature, perm_params
+from ..kernels.minhash import (
+    band_keys_matrix,
+    hash_tokens,
+    minhash_signature,
+    perm_params,
+)
 from ..kernels.simhash import simhash64
 
 
@@ -97,21 +103,33 @@ def _minhash_rows(
 ) -> Iterator[pd.DataFrame]:
     a, b = perm_params(num_perm, seed=seed)
     for pdf in it:
-        ids: list[int] = []
-        band_idx: list[int] = []
-        band_key: list[int] = []
-        for doc_id, txt in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+        n = len(pdf)
+        if n == 0:
+            continue
+        # token hashes are memoized per batch: corpus vocabularies repeat
+        # heavily across documents, and the FNV char loop is the slow part
+        memo: dict[str, int] = {}
+        sigs = np.empty((n, num_perm), dtype=np.uint64)
+        for i, txt in enumerate(pdf["text"].tolist()):
             toks = sorted(set((txt or "").split(" ")))
-            sig = minhash_signature(hash_tokens(toks), a, b)
-            for bi, bk in enumerate(band_keys(sig, bands)):
-                ids.append(doc_id)
-                band_idx.append(bi)
-                band_key.append(bk)
+            new = [t for t in toks if t not in memo]
+            if new:
+                memo.update(zip(new, hash_tokens(new).tolist()))
+            th = np.fromiter(
+                (memo[t] for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            sigs[i] = minhash_signature(th, a, b)
+        # one vectorized fold for every (doc, band) key — bit-identical to
+        # the scalar band_keys chain
+        keys = band_keys_matrix(sigs, bands)
+        ids_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "band_idx": pd.Series(band_idx, dtype="int32"),
-                "band_key": pd.Series(band_key, dtype="int64"),
+                "doc_id": pd.Series(np.repeat(ids_arr, bands), dtype="int64"),
+                "band_idx": pd.Series(
+                    np.tile(np.arange(bands, dtype=np.int32), n), dtype="int32"
+                ),
+                "band_key": pd.Series(keys.ravel(), dtype="int64"),
             }
         )
 

@@ -2087,6 +2087,129 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """SELECT SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))::BIGINT AS revenue_c,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar agg — every predicate pushes to
+    the parquet scan (PushedFilters on date, discount, quantity), no join,
+    one partial+final agg. The simplest plan in the family, here to pin
+    that the scan actually prunes."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_c"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_customers",
+    """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_c
+FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20""",
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-k ranking of customers by returned-item
+    revenue — fact-side filters pushed to both scans, dims broadcast, one
+    shuffle on the grouping key, TakeOrderedAndProject for the limit
+    (deterministic tiebreak on c_custkey keeps the oracle hash stable)."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    """WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       SUM(CAST(round(l.l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c
+FROM orders o
+  JOIN big b ON o.o_orderkey = b.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-derived key set (orders whose total quantity
+    tops the threshold) semi-restricts the fact re-scan — the agg->join
+    composition where the big-orders set is tiny and broadcast back against
+    both orders and lineitem."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_c"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c")
+        )
+        .select("c_custkey", "o_orderkey", "totalprice_c", "sum_qty_c")
+    )
+
+
+@register(
     "q11_important_parts",
     """WITH v AS (
   SELECT l.l_partkey,
@@ -2520,6 +2643,9 @@ _REGISTRY_ORDER = [
     "q11_important_parts",
     "q14_promo_share",
     "q15_top_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_customers",
+    "q18_large_orders",
     "events_session_windows",
     "kg_triples_with_compounds",
     "doc_minhash_pairs",

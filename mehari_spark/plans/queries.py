@@ -772,6 +772,24 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+@register("doc_hll_profile", None)  # sketch output: error-gated in pytest
+def doc_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-token profile per language, exact twin in
+    the same pass (tests gate the sketch's relative error)."""
+    from ..operators.sketch import token_distinct_profile
+
+    return token_distinct_profile(_read(spark, sf_dir, "documents"))
+
+
+@register("doc_quantile_profile", None)  # sketch output: error-gated in pytest
+def doc_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch p50/p90/p99 of tokens-per-document per language, exact
+    percentiles in the same pass (tests gate the sketch error)."""
+    from ..operators.sketch import token_length_quantiles
+
+    return token_length_quantiles(_read(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # classic OLAP coverage over the TPC-H-ish tables (scan/filter/join/agg/
 # window/sort/set ops — SURVEY.md §2.2-2.7 operator families). Money is
@@ -2658,6 +2676,8 @@ _REGISTRY_ORDER = [
     "media_frame_sample",
     "media_decode",
     "media_codec_features",
+    "doc_hll_profile",
+    "doc_quantile_profile",
 ]
 
 # load-bearing invariants: explicit raises, NOT `assert` — asserts are

@@ -1,0 +1,61 @@
+"""Sketch aggregates: measured error gates against the exact twins
+computed in the same pass, plus the no-row-shuffle plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mehari_spark.operators.sketch import (
+    token_distinct_profile,
+    token_length_quantiles,
+)
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+class TestSketches:
+    def test_hll_relative_error_within_bound(self, spark):
+        rows = token_distinct_profile(_docs(spark), rsd=0.02).collect()
+        assert rows  # at least one language group
+        for r in rows:
+            rel = abs(r.hll_distinct - r.exact_distinct) / max(r.exact_distinct, 1)
+            # 3 sigma of the configured rsd — generous but measured
+            assert rel <= 3 * 0.02, (r.lang, r.exact_distinct, r.hll_distinct)
+
+    def test_quantile_sketch_tracks_exact(self, spark):
+        rows = token_length_quantiles(_docs(spark), accuracy=1000).collect()
+        assert rows
+        for r in rows:
+            for exact, approx in zip(r.exact_pct, r.approx_pct):
+                # GK returns a real element; exact interpolates — allow the
+                # interpolation gap plus 5% relative slack
+                assert abs(approx - exact) <= max(2.0, 0.05 * exact), (
+                    r.lang, r.exact_pct, r.approx_pct,
+                )
+
+    def test_sketch_shuffles_state_exact_shuffles_rows(self, spark):
+        """The scale argument, plan-asserted: the sketch-only aggregation
+        shuffles one round of fixed-size SKETCH STATE per (partition,
+        lang); the exact countDistinct twin needs an extra exchange keyed
+        on (lang, tok) — a shuffle of the exploded token rows themselves,
+        O(corpus) at 100 TB. Dropping the exact column removes it."""
+        toks = _docs(spark).select(
+            "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        sketch_only = toks.groupBy("lang").agg(
+            F.approx_count_distinct("tok", 0.02).alias("hll")
+        )
+        p_sketch = sketch_only._jdf.queryExecution().executedPlan().toString()
+        assert p_sketch.count("Exchange hashpartitioning") == 1
+        assert "partial_approx_count_distinct" in p_sketch
+        p_exact = (
+            token_distinct_profile(_docs(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p_exact.count("Exchange hashpartitioning") == 2  # rows moved

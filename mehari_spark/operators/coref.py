@@ -132,6 +132,7 @@ def connected_components_global(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 2,
     check_every: int = 1,
+    small_graph_threshold: int = 2_000_000,
 ):
     """Generic CC over (src, dst) long ids -> (node, component).
     With ``with_rounds=True`` returns (labels, n_rounds) so callers/tests can
@@ -142,6 +143,11 @@ def connected_components_global(
     (path halving). Convergence in O(log n) rounds — the Kiveris et al.
     (SoCC'14) large-star/small-star bound — each round two shuffles on node
     id, expressed as joins/aggs so Catalyst/AQE handle skew.
+
+    Graphs at or below ``small_graph_threshold`` directed edges (and not
+    running durably) short-circuit to a single-task union-find — identical
+    labels, none of the per-round latency; pass 0 to force the distributed
+    path (tests asserting the round bound do).
 
     Durability (mehari's spill-to-disk discipline, strucvars/mod.rs:3075-3144):
     by default iteration state is localCheckpoint'ed — executor-local blocks,
@@ -163,6 +169,39 @@ def connected_components_global(
     ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
+    # SMALL-GRAPH FAST PATH: below the threshold the edge list fits one
+    # task, and a single union-find pass (path compression, min-root) beats
+    # O(log n) synchronous distributed rounds whose per-round driver/stage
+    # latency dominates at this size — measured 13-28 s of rounds vs a few
+    # seconds of union-find at 3M edges. Labels are identical by
+    # construction (min node id per component, the same contract as the
+    # iterative path). Durable runs (checkpoint_dir) always take the
+    # distributed path: their value IS the resumable iteration.
+    if checkpoint_dir is None and small_graph_threshold > 0:
+        n_directed = ed.count()
+        if n_directed <= small_graph_threshold:
+
+            def uf_all(it):
+                from ..kernels.unionfind import connected_components as _uf_cc
+
+                pairs: list[tuple[int, int]] = []
+                for pdf in it:
+                    pairs.extend(zip(pdf["u"].tolist(), pdf["v"].tolist()))
+                comp = _uf_cc(pairs)
+                nodes = list(comp)
+                yield pd.DataFrame(
+                    {
+                        "node": pd.Series(nodes, dtype="int64"),
+                        "component": pd.Series(
+                            [comp[x] for x in nodes], dtype="int64"
+                        ),
+                    }
+                )
+
+            out = ed.coalesce(1).mapInPandas(
+                uf_all, schema="node long, component long"
+            )
+            return (out, 1) if with_rounds else out
     sym = (
         ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

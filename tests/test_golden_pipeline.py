@@ -130,7 +130,7 @@ class TestGlobalCC:
             [(i, i + 1) for i in range(n - 1)], "src long, dst long"
         )
         labels, rounds = connected_components_global(
-            edges, max_iter=40, with_rounds=True
+            edges, max_iter=40, with_rounds=True, small_graph_threshold=0
         )
         comps = {r.component for r in labels.collect()}
         assert comps == {0}

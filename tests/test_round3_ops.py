@@ -400,11 +400,20 @@ class TestDurableCC:
         from mehari_spark.operators.coref import connected_components_global
 
         edges = _chain_edges(spark)
-        want = sorted(map(tuple, connected_components_global(edges).collect()))
+        want = sorted(
+            map(
+                tuple,
+                connected_components_global(
+                    edges, small_graph_threshold=0
+                ).collect(),
+            )
+        )
         got = sorted(
             map(
                 tuple,
-                connected_components_global(edges, check_every=2).collect(),
+                connected_components_global(
+                    edges, check_every=2, small_graph_threshold=0
+                ).collect(),
             )
         )
         assert got == want

@@ -37,6 +37,44 @@ class TestSketches:
                     r.lang, r.exact_pct, r.approx_pct,
                 )
 
+    def test_sketch_runs_as_streaming_agg(self, spark, tmp_path):
+        """Sketches ARE streaming-aggregation state: the same HLL
+        aggregation runs unchanged over a file stream (complete mode) and
+        converges to the batch estimate once all files are consumed."""
+        docs = _docs(spark).limit(200)
+        in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+        docs.write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(in_dir)
+            .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("lang")
+            .agg(F.approx_count_distinct("tok", 0.02).alias("hll"))
+        )
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hll_stream")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.lang: r.hll for r in spark.sql("SELECT * FROM hll_stream").collect()
+        }
+        want = {
+            r.lang: r.hll
+            for r in docs.select(
+                "lang", F.explode(F.split("text", " ")).alias("tok")
+            )
+            .groupBy("lang")
+            .agg(F.approx_count_distinct("tok", 0.02).alias("hll"))
+            .collect()
+        }
+        assert got == want  # same sketch, same estimate, streaming == batch
+
     def test_sketch_shuffles_state_exact_shuffles_rows(self, spark):
         """The scale argument, plan-asserted: the sketch-only aggregation
         shuffles one round of fixed-size SKETCH STATE per (partition,

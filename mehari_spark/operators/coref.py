@@ -147,7 +147,9 @@ def connected_components_global(
     Graphs at or below ``small_graph_threshold`` directed edges (and not
     running durably) short-circuit to a single-task union-find — identical
     labels, none of the per-round latency; pass 0 to force the distributed
-    path (tests asserting the round bound do).
+    path (tests asserting the round bound do). On this path the returned
+    rounds value is the SENTINEL 1 (one union-find pass), not a distributed
+    round count — don't compare it against the O(log n) bound.
 
     Durability (mehari's spill-to-disk discipline, strucvars/mod.rs:3075-3144):
     by default iteration state is localCheckpoint'ed — executor-local blocks,
@@ -198,8 +200,14 @@ def connected_components_global(
                     }
                 )
 
-            out = ed.coalesce(1).mapInPandas(
-                uf_all, schema="node long, component long"
+            # materialize once (same contract as the distributed path's
+            # eager checkpoints): without this every downstream action
+            # would re-collect the edges into one task and re-run
+            # union-find per action
+            out = (
+                ed.coalesce(1)
+                .mapInPandas(uf_all, schema="node long, component long")
+                .localCheckpoint(eager=True)
             )
             return (out, 1) if with_rounds else out
     sym = (

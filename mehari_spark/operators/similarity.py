@@ -177,13 +177,17 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic mini-Lloyd IVF training on a bounded sample.
 
-    The sample is the ``sample_size`` lowest ids (stable across runs and
-    cluster sizes); at 100 TB this is still a driver-side constant —
-    the standard IVF coarse-quantizer training recipe.
+    The sample is the ``sample_size`` vectors with the lowest SALTED HASH
+    of their id (xxhash64(id, seed)) — deterministic across runs and
+    cluster sizes like a lowest-id sample, but uniform over the corpus
+    even when ids correlate with content (ids assigned per source would
+    otherwise train the coarse quantizer on a biased slice). At 100 TB
+    this is still a bounded driver-side constant — the standard IVF
+    coarse-quantizer training recipe.
     """
     sample = (
         embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
         .limit(sample_size)
         .toPandas()
     )

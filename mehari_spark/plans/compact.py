@@ -12,8 +12,12 @@ point is repaired forward/back by ``repair_interrupted_merge`` and the
 checkpoint log only records buckets whose swap completed.
 
 Content safety is checked, not assumed: the staged rewrite must match the
-live bucket on BOTH row count and an order-independent content fingerprint
-(bit_xor of xxhash64 over all columns) before the swap happens.
+live bucket on row count AND two independent order-insensitive content
+fingerprints before the swap happens: bit_xor of xxhash64 over all columns
+plus the SUM of the same hashes as decimal(38,0). XOR alone is blind to
+even-multiplicity changes (dropping two copies of row X while gaining two
+copies of row Y cancels); the sum catches exactly that class, and a
+collision would have to fool both aggregates simultaneously.
 """
 
 from __future__ import annotations
@@ -38,13 +42,40 @@ def _bucket_files(bucket_dir: str) -> list[str]:
     ]
 
 
-def _fingerprint(df: DataFrame) -> tuple[int, int]:
-    """(row_count, order-independent content hash) in one aggregation."""
+def _fingerprint(df: DataFrame) -> tuple[int, int, int]:
+    """(row_count, xor-hash, sum-hash) in one aggregation.
+
+    Two independent order-insensitive reductions over the same row hash:
+    bit_xor (cheap, but even-multiplicity-blind) and sum as decimal(38,0)
+    (multiplicity-sensitive, ANSI-overflow-safe for any realistic bucket).
+    A content diff must cancel under BOTH to slip past the swap gate."""
+    h = F.xxhash64(*df.columns)
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(*df.columns)).alias("fp"),
+        F.bit_xor(h).alias("fp"),
+        F.sum(h.cast("decimal(38,0)")).alias("fps"),
     ).first()
-    return int(row["n"]), int(row["fp"] if row["fp"] is not None else 0)
+    return (
+        int(row["n"]),
+        int(row["fp"] if row["fp"] is not None else 0),
+        int(row["fps"] if row["fps"] is not None else 0),
+    )
+
+
+def needs_compaction(
+    files: list[str], min_files: int, small_file_bytes: int | None
+) -> bool:
+    """Self-targeting trigger policy (the ``rewrite_data_files`` file-size
+    criterion): a bucket qualifies when it holds at least ``min_files``
+    files AND — if ``small_file_bytes`` is set — at least ``min_files`` of
+    them are below that size. A bucket of few, already-large files is
+    healthy and is left alone; rewriting it would burn IO for nothing."""
+    if len(files) < min_files:
+        return False
+    if small_file_bytes is None:
+        return True
+    small = [f for f in files if os.path.getsize(f) < small_file_bytes]
+    return len(small) >= min_files
 
 
 def compact_buckets(
@@ -53,10 +84,13 @@ def compact_buckets(
     run_id: str = "compact",
     target_files: int = 1,
     min_files: int = 2,
+    small_file_bytes: int | None = None,
     sort_cols: list[str] | None = None,
     fail_mid_swap_bucket: int | None = None,
 ) -> dict:
-    """Compact every committed bucket with more than ``min_files`` files.
+    """Compact every committed bucket that ``needs_compaction`` — the scan
+    is self-targeting (file-count, optionally file-size, thresholds), so
+    the maintenance job needs no explicit bucket list.
 
     Returns {"compacted": {bucket: {files_before, files_after, rows}},
     "skipped": [buckets]}. ``sort_cols`` re-sorts rows within each output
@@ -76,19 +110,21 @@ def compact_buckets(
             continue
         b = int(name[len("bucket=") :])
         files = _bucket_files(bdir)
-        if len(files) < min_files:
+        if not needs_compaction(files, min_files, small_file_bytes):
             skipped.append(b)
             continue
         t0 = time.time()
         live = spark.read.parquet(bdir)
-        n_live, fp_live = _fingerprint(live)
+        n_live, fp_live, fps_live = _fingerprint(live)
         staged_dir = os.path.join(staging_root, f"bucket={b}")
         out = live.coalesce(target_files)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").parquet(staged_dir)
-        n_staged, fp_staged = _fingerprint(spark.read.parquet(staged_dir))
-        if (n_staged, fp_staged) != (n_live, fp_live):
+        n_staged, fp_staged, fps_staged = _fingerprint(
+            spark.read.parquet(staged_dir)
+        )
+        if (n_staged, fp_staged, fps_staged) != (n_live, fp_live, fps_live):
             shutil.rmtree(staged_dir, ignore_errors=True)
             raise RuntimeError(
                 f"compaction of bucket {b} would change content "

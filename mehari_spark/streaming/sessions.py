@@ -143,12 +143,22 @@ def finalize_stream(
         (F.col("ts") + F.expr(f"INTERVAL {horizon}")).alias("ts"),
     )
     sentinel.write.mode("append").parquet(input_dir)
+    clean = False
     try:
         query.processAllAvailable()
+        clean = True
     finally:
         query.stop()
-        for path in sorted(_files() - before, reverse=True):
-            try:
-                os.remove(path) if os.path.isfile(path) else os.rmdir(path)
-            except OSError:
-                pass
+        # remove the sentinel part-files ONLY after a clean flush: if the
+        # query errored mid-batch, the file-source log may still reference
+        # them, and deleting now would turn the next checkpoint restart
+        # into a FileNotFound failure. On the error path the files stay in
+        # place (recovery re-reads them; a later clean finalize, which
+        # recomputes max(ts) including them, removes its own new sentinel
+        # and the stale one is bounded by the files recorded here).
+        if clean:
+            for path in sorted(_files() - before, reverse=True):
+                try:
+                    os.remove(path) if os.path.isfile(path) else os.rmdir(path)
+                except OSError:
+                    pass

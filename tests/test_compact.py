@@ -60,6 +60,49 @@ class TestCompaction:
         res2 = compact_buckets(spark, out)
         assert not res2["compacted"] and sorted(res2["skipped"]) == [0, 1, 2, 3]
 
+    def test_size_policy_targets_only_small_file_buckets(self, spark, tmp_path):
+        # self-targeting rewrite_data_files criterion: a bucket made of
+        # few LARGE files is healthy — only buckets with >= min_files
+        # files under the size threshold rewrite
+        out = _table(spark, tmp_path)
+        # bucket 0: pre-compact into one large file, then add one tiny
+        # append so its file COUNT (2) passes the count gate but only one
+        # file is "small"
+        compact_buckets(spark, out, min_files=2)
+        fb = _files_per_bucket(out)
+        assert all(nf == 1 for nf in fb.values())
+        extra = spark.createDataFrame([("cx", 1)], "conv_id string, v long")
+        extra.coalesce(1).write.mode("append").parquet(
+            os.path.join(out, "bucket=0")
+        )
+        sizes = sorted(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(out, "bucket=0", "*.parquet"))
+        )
+        cutoff = (sizes[0] + sizes[1]) // 2  # between tiny append and big file
+        res = compact_buckets(spark, out, min_files=2, small_file_bytes=cutoff)
+        # one small + one large file: not enough small files -> skipped
+        assert 0 in res["skipped"] and not res["compacted"]
+        # without the size policy the same bucket qualifies on count alone
+        res2 = compact_buckets(spark, out, min_files=2)
+        assert 0 in res2["compacted"]
+
+    def test_sum_fingerprint_catches_even_multiplicity_diff(self, spark, tmp_path):
+        # XOR alone cancels on even-multiplicity changes; the decimal-sum
+        # companion must not
+        from mehari_spark.plans.compact import _fingerprint
+
+        a = spark.createDataFrame(
+            [("x", 1), ("x", 1), ("y", 2)], "k string, v long"
+        )
+        b = spark.createDataFrame(
+            [("z", 3), ("z", 3), ("y", 2)], "k string, v long"
+        )
+        na, xa, sa = _fingerprint(a)
+        nb, xb, sb = _fingerprint(b)
+        assert (na, xa) == (nb, xb)  # the blind spot is real
+        assert sa != sb  # and the sum closes it
+
     def test_crash_mid_swap_repairs(self, spark, tmp_path):
         out = _table(spark, tmp_path)
         before = sorted(map(tuple, read_bucketed(spark, out).collect()))

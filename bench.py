@@ -106,12 +106,23 @@ def main() -> None:
             runs[name].append(dt)
             print(f"# run{run_i} {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
             if explain and run_i == 0:
-                # measured shuffle/broadcast totals of the run just done —
-                # the EXPLAIN ANALYZE evidence next to the static plan
+                # measured shuffle/broadcast totals — the EXPLAIN ANALYZE
+                # evidence next to the static plan. Captured COLD: the
+                # query is rebuilt with the shared-stage cache bypassed
+                # (a persisted stage would report the InMemoryTableScan's
+                # 0 exchanges, hiding the real exchange structure) and
+                # executed untimed through its own queryExecution.
                 from mehari_spark.plans.observe import summarize_exchange
+                from mehari_spark.plans.stagecache import cache_disabled
 
+                with cache_disabled():
+                    # also unpersist: Spark's CacheManager substitutes the
+                    # cached relation into ANY matching logical plan, so a
+                    # fresh build alone would still read the warm blocks
+                    clear_shared_stages()
+                    metrics = summarize_exchange(fn(spark, sf_dir))
                 with open(f"BENCH/plans/{name}.metrics.json", "w") as f:
-                    json.dump({"rows": n, **summarize_exchange(df)}, f)
+                    json.dump({"rows": n, "capture": "cold", **metrics}, f)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

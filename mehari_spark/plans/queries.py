@@ -772,19 +772,27 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
-@register("doc_hll_profile", None)  # sketch output: error-gated in pytest
+from ..operators.sketch import TOKEN_DISTINCT_ORACLE, TOKEN_QUANTILE_ORACLE
+
+
+@register("doc_hll_profile", TOKEN_DISTINCT_ORACLE)
 def doc_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-token profile per language, exact twin in
-    the same pass (tests gate the sketch's relative error)."""
+    """HyperLogLog++ distinct-token profile per language. The oracle
+    value-checks the exact twin columns AND the ``hll_ok`` error gate
+    (oracle emits literal TRUE — a sketch drifting outside its bound
+    hash-mismatches); the raw sketch value is pytest-gated
+    (tests/test_sketch.py) via ``include_sketch=True``."""
     from ..operators.sketch import token_distinct_profile
 
     return token_distinct_profile(_read(spark, sf_dir, "documents"))
 
 
-@register("doc_quantile_profile", None)  # sketch output: error-gated in pytest
+@register("doc_quantile_profile", TOKEN_QUANTILE_ORACLE)
 def doc_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK-sketch p50/p90/p99 of tokens-per-document per language, exact
-    percentiles in the same pass (tests gate the sketch error)."""
+    """GK-sketch p50/p90/p99 of tokens-per-document per language against
+    nearest-rank exact percentiles (integer arithmetic, DuckDB-identical).
+    The oracle checks the exact columns plus the ``approx_ok`` gate; the
+    raw sketch array is pytest-gated."""
     from ..operators.sketch import token_length_quantiles
 
     return token_length_quantiles(_read(spark, sf_dir, "documents"))

@@ -20,13 +20,31 @@ first access from a new session.
 
 from __future__ import annotations
 
-from typing import Callable
+import contextlib
+from typing import Callable, Iterator
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
 _MAX_ENTRIES = 4
+_DISABLED = False
+
+
+@contextlib.contextmanager
+def cache_disabled() -> Iterator[None]:
+    """Bypass the stage cache entirely: ``shared_stage`` builds inline,
+    persisting nothing. Used by cold-plan metrics capture (bench.py
+    --explain): a query whose shared stage is already persisted would
+    otherwise report the InMemoryTableScan's 0 exchanges instead of the
+    real cold exchange structure."""
+    global _DISABLED
+    prev = _DISABLED
+    _DISABLED = True
+    try:
+        yield
+    finally:
+        _DISABLED = prev
 
 
 def _unpersist_quiet(df: DataFrame) -> None:
@@ -43,6 +61,8 @@ def shared_stage(
 
     ``key`` identifies the stage CONTENT (stage name, input path, params) —
     the caller must include everything that changes the result."""
+    if _DISABLED:
+        return build()
     app_id = spark.sparkContext.applicationId
     full_key = (app_id, *key)
     df = _CACHE.get(full_key)

@@ -83,3 +83,34 @@ class TestPlanObservability:
         s = summarize_exchange(df, nodes=nodes)
         assert s["n_exchanges"] >= 1
         assert sum(v for _, v in rows_output(df, "HashAggregate", nodes=nodes)) >= 7
+
+
+class TestColdMetricsCapture:
+    def test_shared_stage_metrics_capture_cold_vs_warm(self, spark):
+        """The --explain metrics dump must reflect the COLD exchange
+        structure: once the shared MinHash stage is persisted, the warm
+        walk sees only the InMemoryTableScan (0 exchanges) — the
+        cache_disabled() capture path must still see the band-join
+        shuffles."""
+        from mehari_spark.plans.queries import QUERIES
+        from mehari_spark.plans.stagecache import cache_disabled, clear_shared_stages
+
+        clear_shared_stages()
+        try:
+            fn = QUERIES["doc_minhash_pairs"][0]
+            warm_df = fn(spark, SF_UNIT)  # builds + persists the stage
+            warm_df.count()
+            warm = summarize_exchange(fn(spark, SF_UNIT))  # cached stage
+            with cache_disabled():
+                # must ALSO unpersist: the CacheManager substitutes the
+                # cached relation into any matching fresh logical plan
+                clear_shared_stages()
+                cold = summarize_exchange(fn(spark, SF_UNIT))
+            # warm reuse is real (that's the pipeline win)...
+            assert warm["n_exchanges"] == 0
+            # ...but the saved evidence must show the real cold structure:
+            # at least the band-join exchange moves actual records
+            assert cold["n_exchanges"] >= 1
+            assert cold["shuffle_records_written"] > 0
+        finally:
+            clear_shared_stages()

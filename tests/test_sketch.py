@@ -19,23 +19,40 @@ def _docs(spark):
 
 class TestSketches:
     def test_hll_relative_error_within_bound(self, spark):
-        rows = token_distinct_profile(_docs(spark), rsd=0.02).collect()
+        rows = token_distinct_profile(
+            _docs(spark), rsd=0.02, include_sketch=True
+        ).collect()
         assert rows  # at least one language group
         for r in rows:
             rel = abs(r.hll_distinct - r.exact_distinct) / max(r.exact_distinct, 1)
             # 3 sigma of the configured rsd — generous but measured
             assert rel <= 3 * 0.02, (r.lang, r.exact_distinct, r.hll_distinct)
+            assert r.hll_ok  # the oracle-checked gate agrees
 
     def test_quantile_sketch_tracks_exact(self, spark):
-        rows = token_length_quantiles(_docs(spark), accuracy=1000).collect()
+        rows = token_length_quantiles(
+            _docs(spark), accuracy=1000, include_sketch=True
+        ).collect()
         assert rows
         for r in rows:
-            for exact, approx in zip(r.exact_pct, r.approx_pct):
-                # GK returns a real element; exact interpolates — allow the
-                # interpolation gap plus 5% relative slack
+            exacts = [r.p50_tokens, r.p90_tokens, r.p99_tokens]
+            for exact, approx in zip(exacts, r.approx_pct):
+                # GK returns a real element; exact is nearest-rank — allow
+                # the rank gap plus 5% relative slack
                 assert abs(approx - exact) <= max(2.0, 0.05 * exact), (
-                    r.lang, r.exact_pct, r.approx_pct,
+                    r.lang, exacts, r.approx_pct,
                 )
+            assert r.approx_ok
+
+    def test_oracle_gate_columns_are_oracle_safe(self, spark):
+        """Registry outputs carry no raw sketch values — only exact
+        integers and boolean gates, so the DuckDB value-hash is stable."""
+        hll = token_distinct_profile(_docs(spark))
+        qnt = token_length_quantiles(_docs(spark))
+        assert set(hll.columns) == {"lang", "exact_distinct", "n_tokens", "hll_ok"}
+        assert set(qnt.columns) == {
+            "lang", "n_docs", "p50_tokens", "p90_tokens", "p99_tokens", "approx_ok"
+        }
 
     def test_sketch_runs_as_streaming_agg(self, spark, tmp_path):
         """Sketches ARE streaming-aggregation state: the same HLL

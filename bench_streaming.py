@@ -1,9 +1,16 @@
 """Streaming-operator throughput bench: replay finite inputs through the
-three stateful streaming pipelines and report rows/sec each.
+three stateful streaming pipelines and report rows/sec each, plus the
+scaling sweeps a 100 TB ingest review asks for:
 
-- exact dedup   (streaming/dedup_stream.py)   — documents, replicated
-- near-dup dedup (streaming/neardup_stream.py) — documents (LSH state)
-- sessionization (streaming/sessions.py)       — events
+- trigger-size sweep (maxFilesPerTrigger 4 -> 16 -> 64 over a 256-file
+  input): where does per-trigger fixed cost (planning + state commit)
+  stop dominating? The streaming analog of the N-vs-4N discipline.
+- state-store partition sweep (spark.sql.shuffle.partitions 8 vs 32 at
+  query start = state store partition count): does state sharding limit
+  throughput at this corpus size?
+- state-mode comparison for near-dup dedup: tokens (payload-sized state)
+  vs signature (constant ~1 KB/doc/band) — rows/sec AND measured on-disk
+  state store bytes on the SAME corpus.
 
 Replay protocol: the input is fully written up front; maxFilesPerTrigger
 paces micro-batches, so the measurement covers steady-state trigger
@@ -35,18 +42,23 @@ def main() -> None:
     from mehari_spark.session import get_spark
     from mehari_spark.operators.textstats import STOPWORDS
     from mehari_spark.streaming.dedup_stream import stream_dedup
-    from mehari_spark.streaming.neardup_stream import stream_neardup_dedup
+    from mehari_spark.streaming.neardup_stream import (
+        state_store_bytes,
+        stream_neardup_dedup,
+    )
     from mehari_spark.streaming.sessions import finalize_stream, stream_sessions
 
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rep = int(os.environ.get("STREAM_DOC_REPLICATE", "8"))
     spark = get_spark("mehari-spark-stream-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    base_partitions = spark.conf.get("spark.sql.shuffle.partitions")
     tmp = tempfile.mkdtemp(prefix="stream-bench-")
     out: dict = {"metric": "streaming_rows_per_sec", "cores": cores}
 
     # --- replicated doc corpus (same replica-tagging as the scaling bench:
-    # within-replica near-dup structure kept, no cross-replica cliques)
+    # within-replica near-dup structure kept, no cross-replica cliques).
+    # 256 files so a maxFilesPerTrigger sweep actually paces triggers.
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     tagged = F.concat_ws(
@@ -68,40 +80,87 @@ def main() -> None:
         )
     )
     doc_dir = os.path.join(tmp, "docs_in")
-    big.repartition(32).write.mode("overwrite").parquet(doc_dir)
+    big.repartition(256).write.mode("overwrite").parquet(doc_dir)
     n_docs = spark.read.parquet(doc_dir).count()
 
-    def run_stream(name, starter, in_count):
+    run_i = [0]
+
+    def run_config(starter, in_count, keep_ck: bool = False):
+        """Run one streaming config to completion on fresh dirs; returns
+        {rows, sec, rows_per_sec, [state_bytes]}."""
+        run_i[0] += 1
+        out_dir = os.path.join(tmp, f"out_{run_i[0]}")
+        ck = os.path.join(tmp, f"ck_{run_i[0]}")
         t0 = time.time()
-        q = starter()
+        q = starter(out_dir, ck)
         q.processAllAvailable()
         q.stop()
         dt = time.time() - t0
-        out[name] = {
+        rec = {
             "rows": in_count,
             "sec": round(dt, 2),
             "rows_per_sec": round(in_count / dt, 1),
         }
+        if keep_ck:
+            rec["state_bytes"] = state_store_bytes(ck)
+        return rec
 
-    run_stream(
-        "exact_dedup",
-        lambda: stream_dedup(
-            spark, doc_dir, os.path.join(tmp, "d_out"), os.path.join(tmp, "d_ck")
-        ),
-        n_docs,
-    )
-    run_stream(
-        "neardup_dedup",
-        lambda: stream_neardup_dedup(
-            spark,
-            doc_dir,
-            os.path.join(tmp, "n_out"),
-            os.path.join(tmp, "n_ck"),
-            threshold=0.95,
-        ),
-        n_docs,
-    )
+    # --- trigger-size sweep (state partitions at the session default) ---
+    sweep: dict = {"exact_dedup": {}, "neardup_dedup": {}}
+    for mfpt in (4, 16, 64):
+        sweep["exact_dedup"][str(mfpt)] = run_config(
+            lambda o, c, m=mfpt: stream_dedup(
+                spark, doc_dir, o, c, max_files_per_trigger=m
+            ),
+            n_docs,
+        )
+    for mfpt in (4, 16, 64):
+        sweep["neardup_dedup"][str(mfpt)] = run_config(
+            lambda o, c, m=mfpt: stream_neardup_dedup(
+                spark, doc_dir, o, c, threshold=0.95, max_files_per_trigger=m
+            ),
+            n_docs,
+        )
+    out["trigger_sweep"] = sweep
+    # headline keys (back-compat): the widest-trigger configs
+    out["exact_dedup"] = sweep["exact_dedup"]["64"]
+    out["neardup_dedup"] = sweep["neardup_dedup"]["64"]
 
+    # --- state-store partition sweep (near-dup, mid trigger size) ---
+    psweep: dict = {}
+    for parts in (8, 32):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        psweep[str(parts)] = run_config(
+            lambda o, c: stream_neardup_dedup(
+                spark, doc_dir, o, c, threshold=0.95, max_files_per_trigger=16
+            ),
+            n_docs,
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", base_partitions)
+    out["state_partition_sweep"] = psweep
+
+    # --- state-mode comparison: throughput + measured state bytes ---
+    modes: dict = {}
+    for mode in ("tokens", "signature"):
+        modes[mode] = run_config(
+            lambda o, c, m=mode: stream_neardup_dedup(
+                spark,
+                doc_dir,
+                o,
+                c,
+                threshold=0.95,
+                max_files_per_trigger=16,
+                state_mode=m,
+            ),
+            n_docs,
+            keep_ck=True,
+        )
+    modes["state_bytes_ratio"] = round(
+        modes["tokens"]["state_bytes"] / max(modes["signature"]["state_bytes"], 1), 2
+    )
+    out["state_mode"] = modes
+
+    # --- sessionization (unchanged headline) ---
     ev_dir = os.path.join(tmp, "events_in")
     (
         spark.read.parquet("/root/testdata/sf0.1/events.parquet")

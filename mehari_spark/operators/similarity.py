@@ -418,9 +418,19 @@ def ivf_query_topk(
         F.col("centroid").isin(probed_cells)  # -> PartitionFilters prune
     )
 
+    # per-cell query routing: queries grouped BY PROBED CELL so each
+    # cell's rows matmul only against the queries that probed that cell
+    # — with wide query batches (16+) the probed-cell union approaches
+    # the whole index and an unrouted (batch x all-queries) matmul
+    # erodes the compute pruning even though the mask kept the
+    # SEMANTICS right; routing restores O(rows x queries/cell)
+    cell_queries = {
+        int(c): np.flatnonzero(mask[c]) for c in probed_cells
+    }
+
     def score(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Arrow-vectorized scoring: one (batch x d) @ (d x nq) matmul per
-        # batch, probe mask applied, LOCAL top-k per query emitted — the
+        # Arrow-vectorized scoring: one (cell_rows x d) @ (d x nq_cell)
+        # matmul per cell group, LOCAL top-k per query emitted — the
         # driver-side merge then ranks nq x batches x k tiny rows. A
         # per-row HOF fold here is interpreted per ELEMENT and measured
         # ~10x slower than the matmul at 64 dims.
@@ -430,13 +440,20 @@ def ivf_query_topk(
             mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.linalg.norm(mat, axis=1, keepdims=True)
             vnorm[vnorm == 0] = 1.0
-            sims = (mat / vnorm) @ qnorm.T  # (n, nq)
+            mat = mat / vnorm
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cell_ids = pdf["centroid"].to_numpy(dtype=np.int64)
-            allowed = mask[cell_ids]  # (n, nq)
-            allowed &= ids[:, None] != qids[None, :]  # exclude self
-            sims = np.where(allowed, sims, -np.inf)
-            yield _local_topk_rows(sims, ids, qids, k)
+            for c in np.unique(cell_ids):
+                qis = cell_queries.get(int(c))
+                if qis is None or qis.size == 0:
+                    continue
+                rows = np.flatnonzero(cell_ids == c)
+                sub_ids = ids[rows]
+                sims = mat[rows] @ qnorm[qis].T  # (n_cell, nq_cell)
+                sims = np.where(
+                    sub_ids[:, None] != qids[qis][None, :], sims, -np.inf
+                )
+                yield _local_topk_rows(sims, sub_ids, qids[qis], k)
 
     local_topk = cells.select(id_col, vec_col, "centroid").mapInPandas(
         score, schema="query_id long, neighbor_id long, cos double"

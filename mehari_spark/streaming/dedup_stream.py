@@ -59,6 +59,7 @@ def stream_dedup(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int = 64,
 ) -> StreamingQuery:
     """documents parquet dir (streamed) -> per-hash dedup verdict rows.
 
@@ -67,7 +68,7 @@ def stream_dedup(
     """
     stream = (
         spark.readStream.schema(DOCS_DDL)
-        .option("maxFilesPerTrigger", "64")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
         .withColumn("text_hash", F.md5("text"))
         .select("text_hash", "doc_id")

@@ -9,32 +9,55 @@ from equality to similarity:
 
 - A stateless Arrow stage computes, per arriving document, the SAME MinHash
   band keys as the batch path (identical kernels/minhash.py parameters:
-  num_perm, bands, seed) plus the hashed distinct-token set.
+  num_perm, bands, seed) plus a per-document payload (see state modes).
 - ``applyInPandasWithState`` keyed by (band_idx, band_key): state is the
-  set of documents ever seen in that band bucket (ids + hashed token
-  arrays). Each arriving document is exact-Jaccard re-ranked against the
-  bucket's seen set (the batch path's re-rank, incremental); every arrival
-  is then ADDED to state — dropped documents stay in the seen set, which is
-  what makes verdicts transitive-chain-correct (B dropped for A still
-  catches C ~ B).
+  set of documents ever seen in that band bucket. Each arriving document
+  is re-ranked against the bucket's seen set; every arrival is then ADDED
+  to state — dropped documents stay in the seen set, which is what makes
+  verdicts transitive-chain-correct (B dropped for A still catches C ~ B).
 - The foreachBatch sink folds a document's per-band verdicts (all emitted
   in its arrival trigger) into one keep/drop row: dup_of = min matching
-  earlier doc across bands, NULL = kept. Epoch-dir overwrite makes replays
+  seen doc across bands, NULL = kept. Epoch-dir overwrite makes replays
   idempotent; state commits with the checkpoint, so keep-first holds across
   restarts (exactly-once verdict per document).
 
-SEMANTICS (agreement-tested vs batch): with documents arriving in doc_id
-order (the standard monotone ingest-id discipline), the dropped set is
-EXACTLY ``{doc_b of minhash_lsh_pairs(corpus)}`` — a document is dropped
-iff some earlier document shares a band bucket and has exact token-set
-Jaccard >= threshold. tests/test_stream_neardup.py asserts equality and
-keep-first across a kill/restart.
+STATE MODES (the 100 TB knob):
 
-STATE SIZE at scale: O(docs x bands) hashed-token arrays in the
-partitioned state store. The two production mitigations (documented, not
-needed at test scale): store the 128-perm signature instead of the token
-set and re-rank on estimated Jaccard (constant 1 KB/doc/band), and age
-buckets out with a TTL when the dedup horizon is bounded.
+- ``state_mode="tokens"`` — state stores each doc's hashed distinct-token
+  array; re-rank is EXACT token-set Jaccard (the batch path's re-rank,
+  incremental). Verdict-identical to batch, but state grows with corpus
+  TEXT volume: O(docs x bands x tokens).
+- ``state_mode="signature"`` — state stores only the num_perm MinHash
+  signature (constant 8*num_perm bytes ~ 1 KB/doc/band at 128 perms);
+  re-rank is ESTIMATED Jaccard (fraction of agreeing signature positions,
+  an unbiased estimator with std sqrt(J(1-J)/num_perm) ~ 0.02 at J=0.95).
+  This is the reference seen-KEYS discipline — constant-size state per
+  key, never payloads (db/mod.rs:208-309) — and the mode that holds at
+  100 TB. Verdicts agree with batch wherever |J - threshold| clears a few
+  estimator sigma; pairs within ~2 sigma of the threshold may flip
+  (tests pin exact agreement on a margin-clear corpus, deterministic
+  under the fixed seed). MEASURED caveat: on degenerate tiny-set corpora
+  (~30 distinct tokens/doc, like the sf0.001 demo table) the
+  2-independent-hash estimator biases UP (J=0.83 pairs estimating ~0.91)
+  — use tokens mode there; signature mode targets real long-doc corpora
+  where the bias vanishes.
+
+STATE TTL (``state_ttl_ms``): bounds the dedup horizon. Buckets idle
+longer than the TTL are purged (ProcessingTimeTimeout — purge fires on
+the first trigger after expiry), after which a new near-dup of a
+forgotten document is KEPT. Unset = unbounded horizon (exact keep-first
+forever, state O(distinct buckets)).
+
+ARRIVAL-ORDER SEMANTICS: a document is dropped iff ANY already-seen
+document in one of its band buckets matches (dup_of = the smallest such
+id) — so the KEPT set is near-dup-free under any arrival order, and
+verdicts are keep-FIRST-ARRIVAL. Batch ``minhash_lsh_pairs`` equality
+(dropped set == {doc_b}) additionally requires the standard monotone
+ingest discipline: feed chunks in doc_id order (sequentially written
+files — FileStreamSource orders files by modification time with
+arbitrary ties, so a pre-written directory of unordered files has no
+order guarantee); within a trigger the operator itself processes rows in
+doc_id order.
 """
 
 from __future__ import annotations
@@ -52,40 +75,47 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..kernels.minhash import band_keys, hash_tokens, minhash_signature, perm_params
 
 DOCS_DDL = "doc_id long, lang string, text string"
-BAND_DDL = "doc_id long, band_idx int, band_key long, tok_hashes array<long>"
+BAND_DDL = "doc_id long, band_idx int, band_key long, payload array<long>"
 VERDICT_DDL = "doc_id long, band_idx int, band_key long, dup_of long"
-STATE_DDL = "ids array<long>, toks array<array<long>>"
+STATE_DDL = "ids array<long>, payloads array<array<long>>"
 OUT_DDL = "doc_id long, dup_of long, is_new boolean"
 
 
 def _band_rows(
-    it: Iterable[pd.DataFrame], num_perm: int, bands: int, seed: int
+    it: Iterable[pd.DataFrame],
+    num_perm: int,
+    bands: int,
+    seed: int,
+    signature_state: bool,
 ) -> Iterator[pd.DataFrame]:
     """Per document: ``bands`` rows carrying the band bucket key and the
-    hashed distinct-token set (int64 view of the uint64 hashes — Spark has
-    no unsigned long; the bit pattern is what matters)."""
+    state payload — the hashed distinct-token set (tokens mode; int64 view
+    of the uint64 hashes, the bit pattern is what matters) or the num_perm
+    MinHash signature (signature mode; values < 2^61 so they fit int64)."""
     a, b = perm_params(num_perm, seed=seed)
     for pdf in it:
         ids: list[int] = []
         bidx: list[int] = []
         bkey: list[int] = []
-        toks: list[np.ndarray] = []
+        payloads: list[np.ndarray] = []
         for doc_id, txt in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
             tok_list = sorted(set((txt or "").split(" ")))
             th = np.sort(hash_tokens(tok_list))
             sig = minhash_signature(th, a, b)
-            signed = th.view(np.int64)
+            payload = (
+                sig.astype(np.int64) if signature_state else th.view(np.int64)
+            )
             for bi, bk in enumerate(band_keys(sig, bands)):
                 ids.append(doc_id)
                 bidx.append(bi)
                 bkey.append(bk)
-                toks.append(signed)
+                payloads.append(payload)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "band_idx": pd.Series(bidx, dtype="int32"),
                 "band_key": pd.Series(bkey, dtype="int64"),
-                "tok_hashes": pd.Series(toks, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object"),
             }
         )
 
@@ -96,43 +126,76 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return (ni / denom) if denom else 1.0
 
 
-def _make_bucket_update(threshold: float):
+def _empty_verdicts(band_idx: int = 0, band_key: int = 0) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "band_idx": pd.Series([], dtype="int32"),
+            "band_key": pd.Series([], dtype="int64"),
+            "dup_of": pd.Series([], dtype="object"),
+        }
+    )
+
+
+def _make_bucket_update(
+    threshold: float, signature_state: bool, ttl_ms: int | None
+):
     def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # bucket idle past the dedup horizon: forget it entirely
+            state.remove()
+            yield _empty_verdicts()
+            return
         ids: list[int] = []
-        toks: list[np.ndarray] = []
+        payloads: list[np.ndarray] = []
         if state.exists:
-            s_ids, s_toks = state.get
+            s_ids, s_payloads = state.get
             ids = list(s_ids)
-            toks = [np.asarray(t, dtype=np.int64) for t in s_toks]
+            payloads = [np.asarray(t, dtype=np.int64) for t in s_payloads]
         out_ids: list[int] = []
         out_dup: list[object] = []
         band_idx, band_key = int(key[0]), int(key[1])
         rows = []
         for pdf in pdf_iter:
-            rows.extend(
-                zip(pdf["doc_id"].tolist(), pdf["tok_hashes"].tolist())
-            )
-        # greedy keep-first needs ingest order WITHIN the trigger too
+            rows.extend(zip(pdf["doc_id"].tolist(), pdf["payload"].tolist()))
+        # keep-first needs ingest (id) order WITHIN the trigger too
         rows.sort(key=lambda r: r[0])
-        for doc_id, th in rows:
-            th = np.asarray(th, dtype=np.int64)
-            dup_of = None
-            for eid, et in zip(ids, toks):
-                if eid >= doc_id:
-                    continue
-                # size prefilter (J <= min/max): skip impossible pairs
-                lo, hi = min(th.size, et.size), max(th.size, et.size)
-                if hi and lo < threshold * hi:
-                    continue
-                if _jaccard(th, et) >= threshold:
-                    dup_of = eid if dup_of is None else min(dup_of, eid)
+        for doc_id, pl in rows:
+            pl = np.asarray(pl, dtype=np.int64)
+            # match against EVERY seen entry regardless of id order —
+            # verdicts are keep-first-ARRIVAL, robust to out-of-order
+            # delivery (== keep-lowest-id under monotone ingest)
+            if signature_state and ids:
+                mat = np.stack(payloads)  # (n_seen, num_perm) — fixed width
+                est = (mat == pl[None, :]).mean(axis=1)
+                hit = [
+                    ids[i]
+                    for i in np.flatnonzero(est >= threshold)
+                    if ids[i] != doc_id
+                ]
+                dup_of = min(hit) if hit else None
+            else:
+                dup_of = None
+                for eid, et in zip(ids, payloads):
+                    if eid == doc_id:
+                        continue
+                    # size prefilter (J <= min/max): skip impossible pairs
+                    lo, hi = min(pl.size, et.size), max(pl.size, et.size)
+                    if hi and lo < threshold * hi:
+                        continue
+                    if _jaccard(pl, et) >= threshold:
+                        dup_of = eid if dup_of is None else min(dup_of, eid)
             out_ids.append(doc_id)
             out_dup.append(dup_of)
             # EVERY arrival joins the seen set — dropped docs included, so
             # later members of a transitive chain still match
             ids.append(doc_id)
-            toks.append(th)
-        state.update(([int(i) for i in ids], [t.tolist() for t in toks]))
+            payloads.append(pl)
+        state.update(
+            ([int(i) for i in ids], [t.tolist() for t in payloads])
+        )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out_ids, dtype="int64"),
@@ -155,12 +218,41 @@ def stream_neardup_dedup(
     bands: int = 8,
     seed: int = 42,
     max_files_per_trigger: int = 64,
+    state_mode: str = "tokens",
+    state_ttl_ms: int | None = None,
+    trigger_available_now: bool = False,
 ) -> StreamingQuery:
     """documents parquet dir (streamed) -> per-document keep/drop verdicts.
 
     Output rows (one per document, in its arrival epoch): ``is_new = true``
     marks kept documents; dropped rows carry ``dup_of`` = the earliest
-    similar document. Filter ``is_new`` for the deduped corpus."""
+    similar document. Filter ``is_new`` for the deduped corpus.
+
+    ``state_mode``: "tokens" (exact re-rank, batch-identical verdicts,
+    payload-sized state) or "signature" (estimated re-rank, constant
+    ~8*num_perm bytes/doc/band state — the 100 TB mode). ``state_ttl_ms``
+    bounds the dedup horizon (see module docstring).
+
+    ``trigger_available_now``: run as Trigger.AvailableNow — process
+    everything currently in ``input_dir`` then stop (wait with
+    ``awaitTermination()``). Incompatible with ``state_ttl_ms``
+    (ValueError): with timers registered the engine keeps scheduling
+    state-cleanup batches, so the run never terminates. A TTL query is
+    ALWAYS-ON by nature — the engine triggers ~continuous batches to
+    evaluate timers, ``processAllAvailable()`` never quiesces either;
+    callers observe progress by polling the verdict sink and ``stop()``
+    explicitly (see tests/test_stream_neardup.py::TestStateTTL).
+    """
+    if state_mode not in ("tokens", "signature"):
+        raise ValueError(f"unknown state_mode {state_mode!r}")
+    if trigger_available_now and state_ttl_ms is not None:
+        raise ValueError(
+            "trigger_available_now is incompatible with state_ttl_ms: "
+            "pending timers keep scheduling cleanup batches, so an "
+            "AvailableNow run never terminates — run TTL queries "
+            "always-on and stop() explicitly"
+        )
+    signature_state = state_mode == "signature"
     stream = (
         spark.readStream.schema(DOCS_DDL)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -168,19 +260,24 @@ def stream_neardup_dedup(
         .select("doc_id", "text")
     )
     band_stream = stream.mapInPandas(
-        lambda it: _band_rows(it, num_perm, bands, seed), schema=BAND_DDL
+        lambda it: _band_rows(it, num_perm, bands, seed, signature_state),
+        schema=BAND_DDL,
     )
     verdicts = band_stream.groupBy("band_idx", "band_key").applyInPandasWithState(
-        _make_bucket_update(threshold),
+        _make_bucket_update(threshold, signature_state, state_ttl_ms),
         outputStructType=VERDICT_DDL,
         stateStructType=STATE_DDL,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         # all `bands` verdicts for a document arrive in its own trigger:
-        # fold them here (min matching earlier doc across bands); the
+        # fold them here (min matching seen doc across bands); the
         # stateful operator never re-emits old documents, so each document
         # lands in exactly one epoch dir and replays overwrite idempotently
         folded = (
@@ -194,13 +291,30 @@ def stream_neardup_dedup(
             os.path.join(output_dir, f"epoch={epoch_id}")
         )
 
-    return (
+    writer = (
         verdicts.writeStream.outputMode("update")
         .foreachBatch(write_epoch)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_verdicts(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(OUT_DDL).parquet(os.path.join(output_dir, "epoch=*"))
+
+
+def state_store_bytes(checkpoint_dir: str) -> int:
+    """Total on-disk size of the query's committed state store — the
+    measured evidence for the tokens-vs-signature state-size comparison
+    (bench_streaming.py reports both modes on the same corpus)."""
+    total = 0
+    root = os.path.join(checkpoint_dir, "state")
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                pass
+    return total

@@ -116,3 +116,180 @@ class TestStreamingNearDup:
             4: (False, 2),
             5: (True, None),
         }
+
+
+class TestSignatureStateMode:
+    def test_signature_state_agrees_with_batch(self, spark, tmp_path):
+        """The 100 TB mode: state = MinHash signatures only. On a margin-
+        clear corpus (near-dups J~0.985, background far below threshold —
+        the shape of a real long-doc corpus) the estimated-Jaccard re-rank
+        yields the SAME dropped set as the batch exact path at threshold
+        0.95 (verified offline: 60/60 candidate pairs classify
+        identically, 0 flips, deterministic under the fixed seed). The
+        documented tolerance: pairs within ~2 estimator sigma
+        (sqrt(J(1-J)/128) ~ 0.02) of the threshold may flip — the sf0.001
+        demo corpus is degenerate that way (30-token sets bias the
+        2-independent-hash estimator upward), so tokens mode is the right
+        choice THERE; signature mode targets real corpora."""
+        from mehari_spark.operators.dedup import minhash_lsh_pairs
+
+        rows = []
+        did = 0
+        for b in range(20):
+            base = " ".join(f"b{b}t{i}" for i in range(200))
+            rows.append((did, "en", base)); did += 1
+            for c in range(2):  # J(base, copy) = 200/203 ~ 0.985
+                rows.append(
+                    (did, "en", base + f" b{b}c{c}x b{b}c{c}y b{b}c{c}z")
+                )
+                did += 1
+        docs = _docs(spark, rows)
+        in_dir, out_dir, ck = (
+            str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        docs.filter(F.col("doc_id") < 30).write.mode("append").parquet(in_dir)
+        q = stream_neardup_dedup(
+            spark, in_dir, out_dir, ck, threshold=0.95, state_mode="signature"
+        )
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") >= 30).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        q.stop()
+
+        streamed_dropped = {
+            r.doc_id
+            for r in read_verdicts(spark, out_dir).filter("NOT is_new").collect()
+        }
+        batch_dropped = {
+            r.doc_b
+            for r in minhash_lsh_pairs(docs, threshold=0.95).select("doc_b").collect()
+        }
+        assert streamed_dropped == batch_dropped
+        assert len(streamed_dropped) == 40  # 2 copies x 20 bases dropped
+        assert read_verdicts(spark, out_dir).count() == docs.count()
+
+    def test_signature_state_is_smaller_and_constant(self, spark, tmp_path):
+        """Measured, not asserted: on long documents the signature-mode
+        state store is a fraction of the tokens-mode store on the SAME
+        corpus (payload is 128 longs per doc/band regardless of doc
+        length)."""
+        from mehari_spark.streaming.neardup_stream import state_store_bytes
+
+        base = " ".join(f"tok{i}" for i in range(600))  # long docs
+        rows = [(i, "en", base + f" u{i}a u{i}b u{i}c") for i in range(40)]
+        sizes = {}
+        for mode in ("tokens", "signature"):
+            in_dir = str(tmp_path / f"in_{mode}")
+            out_dir = str(tmp_path / f"out_{mode}")
+            ck = str(tmp_path / f"ck_{mode}")
+            _docs(spark, rows).write.mode("append").parquet(in_dir)
+            q = stream_neardup_dedup(
+                spark, in_dir, out_dir, ck, threshold=0.95, state_mode=mode
+            )
+            q.processAllAvailable()
+            q.stop()
+            sizes[mode] = state_store_bytes(ck)
+        assert sizes["signature"] > 0
+        # 600+-token payloads vs 128-long signatures: > 2x on-disk shrink
+        assert sizes["signature"] * 2 < sizes["tokens"], sizes
+
+
+class TestStateTTL:
+    """A TTL query is ALWAYS-ON: with timers registered the engine
+    schedules ~continuous state-cleanup batches, so processAllAvailable
+    never quiesces (and an AvailableNow run never terminates — the
+    operator rejects that combination). Tests poll the verdict sink for
+    progress and stop() explicitly — the same observation pattern an
+    always-on ingest deployment uses."""
+
+    @staticmethod
+    def _wait_for_verdicts(spark, out_dir, want_ids, timeout_s=90):
+        import time as _time
+
+        t0 = _time.time()
+        while _time.time() - t0 < timeout_s:
+            try:
+                got = {r.doc_id for r in read_verdicts(spark, out_dir).collect()}
+                if want_ids <= got:
+                    return
+            except Exception:
+                pass  # sink dir mid-write / not yet created
+            _time.sleep(0.5)
+        raise AssertionError(f"verdicts for {want_ids} not seen in {timeout_s}s")
+
+    def test_ttl_purges_idle_buckets(self, spark, tmp_path):
+        """Bounded dedup horizon: a bucket idle past the TTL is purged by
+        a cleanup batch, after which a near-dup of the forgotten doc is
+        KEPT (and still gets exactly one verdict row)."""
+        import time as _time
+
+        base = " ".join(f"w{i}" for i in range(50))
+        in_dir, out_dir, ck = (
+            str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        _docs(spark, [(1, "en", base)]).write.mode("append").parquet(in_dir)
+        q = stream_neardup_dedup(
+            spark, in_dir, out_dir, ck, threshold=0.95, state_ttl_ms=2000
+        )
+        try:
+            self._wait_for_verdicts(spark, out_dir, {1})
+            _time.sleep(6.0)  # > TTL: cleanup batches purge doc 1's buckets
+            # near-dup of the FORGOTTEN doc 1 -> kept
+            _docs(spark, [(3, "en", base + " v1")]).write.mode("append").parquet(in_dir)
+            self._wait_for_verdicts(spark, out_dir, {1, 3})
+        finally:
+            q.stop()
+        rows = {r.doc_id: (r.is_new, r.dup_of) for r in read_verdicts(spark, out_dir).collect()}
+        assert rows == {1: (True, None), 3: (True, None)}
+
+    def test_within_horizon_still_drops(self, spark, tmp_path):
+        """Sanity twin: with a generous TTL the dup arriving inside the
+        horizon is still dropped."""
+        base = " ".join(f"w{i}" for i in range(50))
+        in_dir, out_dir, ck = (
+            str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        _docs(spark, [(1, "en", base)]).write.mode("append").parquet(in_dir)
+        q = stream_neardup_dedup(
+            spark, in_dir, out_dir, ck, threshold=0.95, state_ttl_ms=600_000
+        )
+        try:
+            self._wait_for_verdicts(spark, out_dir, {1})
+            _docs(spark, [(2, "en", base + " v1")]).write.mode("append").parquet(in_dir)
+            self._wait_for_verdicts(spark, out_dir, {1, 2})
+        finally:
+            q.stop()
+        rows = {r.doc_id: (r.is_new, r.dup_of) for r in read_verdicts(spark, out_dir).collect()}
+        assert rows == {1: (True, None), 2: (False, 1)}
+
+    def test_available_now_with_ttl_rejected(self, spark, tmp_path):
+        import pytest
+
+        with pytest.raises(ValueError, match="never terminates"):
+            stream_neardup_dedup(
+                spark,
+                str(tmp_path / "in"),
+                str(tmp_path / "out"),
+                str(tmp_path / "ck"),
+                state_ttl_ms=1000,
+                trigger_available_now=True,
+            )
+
+
+class TestArrivalOrderRobustness:
+    def test_out_of_order_arrival_drops_later_arrival(self, spark, tmp_path):
+        """Higher-id doc arrives FIRST: verdicts are keep-first-ARRIVAL —
+        doc 5 (first) is kept, doc 3 (later, similar) is dropped with
+        dup_of=5. The kept set stays near-dup-free under any order."""
+        base = " ".join(f"w{i}" for i in range(50))
+        in_dir, out_dir, ck = (
+            str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        _docs(spark, [(5, "en", base)]).write.mode("append").parquet(in_dir)
+        q = stream_neardup_dedup(spark, in_dir, out_dir, ck, threshold=0.95)
+        q.processAllAvailable()
+        _docs(spark, [(3, "en", base + " v1")]).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        q.stop()
+        rows = {r.doc_id: (r.is_new, r.dup_of) for r in read_verdicts(spark, out_dir).collect()}
+        assert rows == {5: (True, None), 3: (False, 5)}

@@ -140,21 +140,46 @@ def main() -> None:
     out["state_partition_sweep"] = psweep
 
     # --- state-mode comparison: throughput + measured state bytes ---
+    # On a LONG-DOC corpus (the real-corpus shape): the demo docs hold
+    # only ~30 distinct tokens, FEWER than the 128-perm signature, which
+    # would invert the comparison (measured: 73 MB tokens vs 412 MB
+    # signature state on the tiny-doc corpus). Real documents carry
+    # hundreds-to-thousands of distinct tokens; signature state is the
+    # constant-size mode THERE. Expand each doc to ~600 distinct tokens
+    # (x20 suffix-tagged copies, near-dup structure preserved) and
+    # measure both modes on the same corpus.
+    expanded = F.array_join(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit("#"), j.cast("string")),
+                ),
+            )
+        ),
+        " ",
+    )
+    long_docs = docs.select("doc_id", "lang", expanded.alias("text"))
+    long_dir = os.path.join(tmp, "docs_long_in")
+    long_docs.repartition(64).write.mode("overwrite").parquet(long_dir)
+    n_long = spark.read.parquet(long_dir).count()
     modes: dict = {}
     for mode in ("tokens", "signature"):
         modes[mode] = run_config(
             lambda o, c, m=mode: stream_neardup_dedup(
                 spark,
-                doc_dir,
+                long_dir,
                 o,
                 c,
                 threshold=0.95,
                 max_files_per_trigger=16,
                 state_mode=m,
             ),
-            n_docs,
+            n_long,
             keep_ck=True,
         )
+    modes["doc_tokens"] = "~600 distinct (x20-expanded sf0.1 docs)"
     modes["state_bytes_ratio"] = round(
         modes["tokens"]["state_bytes"] / max(modes["signature"]["state_bytes"], 1), 2
     )

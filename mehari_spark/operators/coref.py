@@ -132,7 +132,7 @@ def connected_components_global(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 2,
     check_every: int = 1,
-    small_graph_threshold: int = 2_000_000,
+    small_graph_threshold: int = 4_000_000,
 ):
     """Generic CC over (src, dst) long ids -> (node, component).
     With ``with_rounds=True`` returns (labels, n_rounds) so callers/tests can
@@ -175,10 +175,12 @@ def connected_components_global(
     # task, and a single union-find pass (path compression, min-root) beats
     # O(log n) synchronous distributed rounds whose per-round driver/stage
     # latency dominates at this size — measured 13-28 s of rounds vs a few
-    # seconds of union-find at 3M edges. Labels are identical by
-    # construction (min node id per component, the same contract as the
-    # iterative path). Durable runs (checkpoint_dir) always take the
-    # distributed path: their value IS the resumable iteration.
+    # seconds of union-find at 3M edges (that crossover measurement set the
+    # 4M default: 4M edges is ~64 MB through one task, broadcast-threshold
+    # territory, while the rounds' fixed cost still dominates). Labels are
+    # identical by construction (min node id per component, the same
+    # contract as the iterative path). Durable runs (checkpoint_dir) always
+    # take the distributed path: their value IS the resumable iteration.
     if checkpoint_dir is None and small_graph_threshold > 0:
         n_directed = ed.count()
         if n_directed <= small_graph_threshold:

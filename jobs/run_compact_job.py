@@ -6,7 +6,7 @@ Cluster usage (same packaging contract as the other jobs):
     jobs/package.sh
     spark-submit --py-files mehari_spark.zip jobs/run_compact_job.py \
         --table <bucketed table dir> [--target-files 1] [--min-files 2] \
-        [--sort-cols doc_id]
+        [--small-file-bytes 33554432] [--sort-cols doc_id]
 
 Sandbox smoke (against a table written by run_dataprep_job):
 
@@ -25,6 +25,13 @@ def main() -> int:
     ap.add_argument("--table", required=True, help="bucketed table directory")
     ap.add_argument("--target-files", type=int, default=1)
     ap.add_argument("--min-files", type=int, default=2)
+    ap.add_argument(
+        "--small-file-bytes",
+        type=int,
+        default=None,
+        help="size-based trigger: only rewrite buckets holding >= min-files "
+        "files below this size (rewrite_data_files criterion)",
+    )
     ap.add_argument(
         "--sort-cols",
         default="",
@@ -45,6 +52,7 @@ def main() -> int:
         run_id=args.run_id,
         target_files=args.target_files,
         min_files=args.min_files,
+        small_file_bytes=args.small_file_bytes,
         sort_cols=[c for c in args.sort_cols.split(",") if c] or None,
     )
     print(json.dumps(res))

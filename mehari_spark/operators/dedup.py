@@ -160,10 +160,14 @@ def minhash_lsh_pairs(
     src_df = docs.select("doc_id", "text")
     if src_df.rdd.getNumPartitions() < par:
         src_df = src_df.repartition(par)  # parallelize the signature scan
+    # materialize the signature scan once (lazy local checkpoint): the
+    # band table feeds BOTH sides of the self-join, and without the
+    # checkpoint the Arrow signature kernel runs twice — the session-local
+    # form of writing the signature table once at 100 TB
     bands_df = src_df.mapInPandas(
         lambda it: _minhash_rows(it, num_perm, bands, seed),
         schema="doc_id long, band_idx int, band_key long",
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         bands_df.alias("x")
         .join(bands_df.alias("y"), ["band_idx", "band_key"])
@@ -177,7 +181,9 @@ def minhash_lsh_pairs(
     # equi-joins on doc_id) and intersect in-row — O(|cand| * doc_len), no
     # postings explosion. The postings join is only worth it for the
     # all-pairs exact path (ngram_jaccard_pairs).
-    toks = _doc_tokens(docs).select("doc_id", "toks")
+    toks = _doc_tokens(docs).select("doc_id", "toks").localCheckpoint(
+        eager=False
+    )  # consumed by both re-rank join sides
     inter = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
         .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")

@@ -573,9 +573,12 @@ def lsh_near_dup_pairs(
     demo corpus, so the output is IDENTICAL to the exact all-pairs query
     (asserted in pytest; the J8 candidate-from-index discipline,
     strucvars/mod.rs:3189-3290). Output: (vec_a, vec_b, cos_ppm)."""
+    # materialize the signature scan once (lazy local checkpoint): it
+    # feeds both sides of the band self-join; without it the hyperplane
+    # kernel (and any derived-corpus pipeline under it) runs per side
     sigs = banded_lsh_signatures(
         corpus, n_bands, rows_per_band, seed, id_col, vec_col
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         sigs.alias("a")
         .join(

@@ -1965,7 +1965,12 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-for-pair because the band knee sits far below the 0.9 threshold."""
     from ..operators.similarity import lsh_near_dup_pairs
 
-    corpus = _near_dup_corpus(_read(spark, sf_dir, "embeddings"))
+    # the DERIVED corpus (mapInPandas union) is consumed by the signature
+    # scan and both exact-re-rank join sides; checkpoint it once — at real
+    # scale the corpus is a parquet table and this node is just the scan
+    corpus = _near_dup_corpus(_read(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     return lsh_near_dup_pairs(corpus, threshold=0.9)
 
 

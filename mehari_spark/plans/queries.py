@@ -772,7 +772,45 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+from ..operators.curation import (
+    CONTAMINATION_ORACLE,
+    SHARD_PACKING_ORACLE,
+    TRAIN_SPLIT_ORACLE,
+)
 from ..operators.sketch import TOKEN_DISTINCT_ORACLE, TOKEN_QUANTILE_ORACLE
+
+
+@register("doc_train_split", TRAIN_SPLIT_ORACLE)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (md5 hex-prefix
+    string compare — engine-identical). Hashing content keeps exact
+    duplicates in one split (leakage guard) and assignment stable under
+    re-ingestion and cluster size."""
+    from ..operators.curation import train_split
+
+    return train_split(_read(spark, sf_dir, "documents"))
+
+
+@register("doc_shard_packing", SHARD_PACKING_ORACLE)
+def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing via per-lang cumulative-sum
+    window (pure integer arithmetic) — the document-level sequence
+    packing pass of a training-data pipeline, parallel across the
+    partition key."""
+    from ..operators.curation import shard_packing
+
+    return shard_packing(_read(spark, sf_dir, "documents"))
+
+
+@register("doc_contamination", CONTAMINATION_ORACLE)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen: flags corpus docs sharing any
+    word 8-gram with the benchmark set (docs 0-4, deterministic).
+    Benchmark grams broadcast; the corpus side streams."""
+    from ..operators.curation import contamination_screen
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_screen(docs, docs.filter(F.col("doc_id") < 5))
 
 
 @register("doc_hll_profile", TOKEN_DISTINCT_ORACLE)
@@ -2691,6 +2729,9 @@ _REGISTRY_ORDER = [
     "media_codec_features",
     "doc_hll_profile",
     "doc_quantile_profile",
+    "doc_train_split",
+    "doc_shard_packing",
+    "doc_contamination",
 ]
 
 # load-bearing invariants: explicit raises, NOT `assert` — asserts are

@@ -78,10 +78,17 @@ def curate_documents(
         checkpoint_dir=cc_checkpoint_dir,
     ).withColumnRenamed("node", "doc_id")
 
+    # downstream dataset assembly: deterministic content-hash split
+    # (leakage-safe — exact dupes share a split; operators/curation.py)
+    from ..operators.curation import train_split
+
+    splits = train_split(docs).select("doc_id", "split")
+
     out = (
         tokens.join(quality.select("doc_id", "n_tokens", "filter_reasons"), "doc_id")
         .join(langs.select("doc_id", "pred_lang"), "doc_id", "left")
         .join(exact_rep, "doc_id")
+        .join(splits, "doc_id")
         .join(comps, "doc_id", "left")
         .withColumn(
             "component_id", F.coalesce(F.col("component"), F.col("doc_id"))
@@ -127,13 +134,16 @@ def run_dataprep(
             ((F.col("filter_reasons") == 0) & ~F.col("kept")).cast("long")
         ).alias("n_dup_drop"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(
+            (F.col("kept") & (F.col("split") == "train")).cast("long")
+        ).alias("n_kept_train"),
         F.countDistinct("component_id").alias("n_components"),
     ).first()
     counters = {k: int(agg[k]) for k in agg.asDict()}
 
     results = write_bucketed(
         verdict.filter(F.col("kept")).select(
-            "doc_id", "pred_lang", "n_tokens", "n_bpe", "component_id"
+            "doc_id", "pred_lang", "n_tokens", "n_bpe", "component_id", "split"
         ),
         out_dir,
         run_id=run_id,

@@ -84,3 +84,9 @@ class TestCurateDocuments:
         assert read_bucketed(spark, out).count() == c["n_kept"]
         # decision counters landed in the metrics log
         assert os.path.exists(os.path.join(out, "_metrics.jsonl"))
+        # dataset-assembly columns: every kept doc carries its
+        # content-hash split, and the split counter is consistent
+        splits = {r.split for r in table.select("split").distinct().collect()}
+        assert splits <= {"train", "val", "test"} and "train" in splits
+        n_train = table.filter(F.col("split") == "train").count()
+        assert n_train == c["n_kept_train"] > 0

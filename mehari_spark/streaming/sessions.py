@@ -153,9 +153,12 @@ def finalize_stream(
         # query errored mid-batch, the file-source log may still reference
         # them, and deleting now would turn the next checkpoint restart
         # into a FileNotFound failure. On the error path the files stay in
-        # place (recovery re-reads them; a later clean finalize, which
-        # recomputes max(ts) including them, removes its own new sentinel
-        # and the stale one is bounded by the files recorded here).
+        # place so recovery can re-read them; a later clean finalize then
+        # computes max(ts) INCLUDING the stale sentinel (horizon stacks
+        # once per errored attempt — conservative: sessions still flush,
+        # the sentinel user is still sink-filtered) and removes only its
+        # own new files. Callers wanting a pristine input after an error
+        # re-run finalize_stream once the query is healthy.
         if clean:
             for path in sorted(_files() - before, reverse=True):
                 try:

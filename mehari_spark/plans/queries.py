@@ -780,6 +780,83 @@ from ..operators.curation import (
 from ..operators.sketch import TOKEN_DISTINCT_ORACLE, TOKEN_QUANTILE_ORACLE
 
 
+@register(
+    "events_funnel",
+    """WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+v AS (
+  SELECT user_id, MIN(ts_ms) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t_click
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t_purchase
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       COALESCE(v.t_view, -1)::BIGINT AS t_view,
+       COALESCE(c.t_click, -1)::BIGINT AS t_click,
+       COALESCE(p.t_purchase, -1)::BIGINT AS t_purchase,
+       (CASE WHEN p.user_id IS NOT NULL THEN 3
+             WHEN c.user_id IS NOT NULL THEN 2
+             WHEN v.user_id IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS stage
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel completion (sequential pattern matching): per user,
+    the earliest view, the earliest click strictly AFTER that view, and
+    the earliest purchase strictly after that click — stage = steps
+    completed in order. Expressed as chained conditional-min aggregates
+    joined on user_id (every shuffle shares the same key, so the stages
+    co-partition; no UDF, no per-user collect). Missing steps surface as
+    -1 (bigint-stable across engines)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    users = ev.select("user_id").distinct()
+    steps = ("view", "click", "purchase")
+    cur = users
+    prev = None
+    for s in steps:
+        stepdf = ev.filter(F.col("event_type") == s)
+        if prev is not None:
+            stepdf = stepdf.join(
+                cur.filter(F.col(prev).isNotNull()).select("user_id", prev),
+                "user_id",
+            ).filter(F.col("ts_ms") > F.col(prev))
+        agg = stepdf.groupBy("user_id").agg(F.min("ts_ms").alias(f"t_{s}"))
+        cur = cur.join(agg, "user_id", "left")
+        prev = f"t_{s}"
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return cur.select(
+        "user_id",
+        F.coalesce(F.col("t_view"), F.lit(-1)).alias("t_view"),
+        F.coalesce(F.col("t_click"), F.lit(-1)).alias("t_click"),
+        F.coalesce(F.col("t_purchase"), F.lit(-1)).alias("t_purchase"),
+        stage.alias("stage"),
+    )
+
+
 @register("doc_train_split", TRAIN_SPLIT_ORACLE)
 def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (md5 hex-prefix
@@ -2732,6 +2809,7 @@ _REGISTRY_ORDER = [
     "doc_train_split",
     "doc_shard_packing",
     "doc_contamination",
+    "events_funnel",
 ]
 
 # load-bearing invariants: explicit raises, NOT `assert` — asserts are

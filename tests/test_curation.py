@@ -89,3 +89,44 @@ class TestContamination:
         ids = {r.doc_id for r in out.select("doc_id").collect()}
         assert ids.isdisjoint({0, 1, 2, 3, 4})
         assert len(ids) == docs.count() - 5
+
+
+class TestEventsFunnel:
+    def test_strict_ordering_semantics(self, spark, tmp_path):
+        """A click BEFORE the first view does not count; stages are
+        completed strictly in order."""
+        import datetime as dt
+
+        from mehari_spark.plans.queries import QUERIES
+
+        def ts(s):
+            return dt.datetime(2024, 1, 1, 0, 0, s)
+
+        rows = [
+            # user 1: full funnel in order
+            (1, 1, "view", 0.0, "{}", ts(1)),
+            (2, 1, "click", 0.0, "{}", ts(2)),
+            (3, 1, "purchase", 0.0, "{}", ts(3)),
+            # user 2: click precedes the only view -> stage stops at 1
+            (4, 2, "click", 0.0, "{}", ts(1)),
+            (5, 2, "view", 0.0, "{}", ts(2)),
+            (6, 2, "purchase", 0.0, "{}", ts(0)),  # also too early
+            # user 3: no funnel events at all
+            (7, 3, "error", 0.0, "{}", ts(1)),
+            # user 4: view+click ordered, purchase between them -> stage 2
+            (8, 4, "view", 0.0, "{}", ts(1)),
+            (9, 4, "purchase", 0.0, "{}", ts(2)),
+            (10, 4, "click", 0.0, "{}", ts(3)),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, value double,"
+            " props string, ts timestamp",
+        )
+        sf_dir = str(tmp_path)
+        df.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+        got = {
+            r.user_id: r.stage
+            for r in QUERIES["events_funnel"][0](spark, sf_dir).collect()
+        }
+        assert got == {1: 3, 2: 1, 3: 0, 4: 2}

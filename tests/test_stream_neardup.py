@@ -293,3 +293,31 @@ class TestArrivalOrderRobustness:
         q.stop()
         rows = {r.doc_id: (r.is_new, r.dup_of) for r in read_verdicts(spark, out_dir).collect()}
         assert rows == {5: (True, None), 3: (False, 5)}
+
+
+class TestReplayWriter:
+    def test_sequential_chunks_feed_triggers_in_order(self, spark, tmp_path):
+        """write_arrival_chunk + maxFilesPerTrigger=1: chunks written out
+        of doc_id order across calls still arrive in CALL order (one file
+        per wave, sequential names = sequential mtimes), so keep-first-
+        arrival verdicts are reproducible."""
+        from mehari_spark.streaming.replay import write_arrival_chunk
+
+        base = " ".join(f"w{i}" for i in range(50))
+        in_dir, out_dir, ck = (
+            str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        p1 = write_arrival_chunk(_docs(spark, [(7, "en", base)]), in_dir)
+        p2 = write_arrival_chunk(
+            _docs(spark, [(3, "en", base + " v1")]), in_dir
+        )
+        assert [p1, p2] == sorted([p1, p2])  # name order == call order
+        q = stream_neardup_dedup(
+            spark, in_dir, out_dir, ck, max_files_per_trigger=1,
+            threshold=0.95, trigger_available_now=True,
+        )
+        q.awaitTermination()
+        rows = {r.doc_id: (r.is_new, r.dup_of) for r in read_verdicts(spark, out_dir).collect()}
+        # doc 7 arrived first (its chunk precedes), so it is kept and the
+        # later, lower-id near-dup defers to it
+        assert rows == {7: (True, None), 3: (False, 7)}

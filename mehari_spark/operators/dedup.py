@@ -160,14 +160,23 @@ def minhash_lsh_pairs(
     src_df = docs.select("doc_id", "text")
     if src_df.rdd.getNumPartitions() < par:
         src_df = src_df.repartition(par)  # parallelize the signature scan
-    # materialize the signature scan once (lazy local checkpoint): the
-    # band table feeds BOTH sides of the self-join, and without the
-    # checkpoint the Arrow signature kernel runs twice — the session-local
-    # form of writing the signature table once at 100 TB
-    bands_df = src_df.mapInPandas(
-        lambda it: _minhash_rows(it, num_perm, bands, seed),
-        schema="doc_id long, band_idx int, band_key long",
-    ).localCheckpoint(eager=False)
+    # materialize the signature scan once: the band table feeds BOTH sides
+    # of the self-join, and without materialization the Arrow signature
+    # kernel runs twice — the session-local form of writing the signature
+    # table once at 100 TB. Routed through the bounded stage cache so the
+    # blocks are EVICTED as newer stages arrive (per-invocation
+    # localCheckpoint blocks leaked for the session's lifetime).
+    from ..plans.stagecache import materialize_once
+
+    src_key = src_df.semanticHash()
+    bands_df = materialize_once(
+        spark,
+        ("minhash_bands", src_key, num_perm, bands, seed),
+        lambda: src_df.mapInPandas(
+            lambda it: _minhash_rows(it, num_perm, bands, seed),
+            schema="doc_id long, band_idx int, band_key long",
+        ),
+    )
     cand = (
         bands_df.alias("x")
         .join(bands_df.alias("y"), ["band_idx", "band_key"])
@@ -181,8 +190,10 @@ def minhash_lsh_pairs(
     # equi-joins on doc_id) and intersect in-row — O(|cand| * doc_len), no
     # postings explosion. The postings join is only worth it for the
     # all-pairs exact path (ngram_jaccard_pairs).
-    toks = _doc_tokens(docs).select("doc_id", "toks").localCheckpoint(
-        eager=False
+    toks = materialize_once(
+        spark,
+        ("minhash_toks", src_key),
+        lambda: _doc_tokens(docs).select("doc_id", "toks"),
     )  # consumed by both re-rank join sides
     inter = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")

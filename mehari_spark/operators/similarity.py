@@ -573,12 +573,25 @@ def lsh_near_dup_pairs(
     demo corpus, so the output is IDENTICAL to the exact all-pairs query
     (asserted in pytest; the J8 candidate-from-index discipline,
     strucvars/mod.rs:3189-3290). Output: (vec_a, vec_b, cos_ppm)."""
-    # materialize the signature scan once (lazy local checkpoint): it
-    # feeds both sides of the band self-join; without it the hyperplane
-    # kernel (and any derived-corpus pipeline under it) runs per side
-    sigs = banded_lsh_signatures(
-        corpus, n_bands, rows_per_band, seed, id_col, vec_col
-    ).localCheckpoint(eager=False)
+    # materialize the signature scan once: it feeds both sides of the band
+    # self-join; without it the hyperplane kernel (and any derived-corpus
+    # pipeline under it) runs per side. Bounded stage cache, not a bare
+    # localCheckpoint — evicted blocks don't leak across query builds.
+    from ..plans.stagecache import materialize_once
+
+    sigs = materialize_once(
+        corpus.sparkSession,
+        (
+            "hyperplane_bands",
+            corpus.semanticHash(),
+            n_bands,
+            rows_per_band,
+            seed,
+        ),
+        lambda: banded_lsh_signatures(
+            corpus, n_bands, rows_per_band, seed, id_col, vec_col
+        ),
+    )
     cand = (
         sigs.alias("a")
         .join(

@@ -74,7 +74,17 @@ def needs_compaction(
         return False
     if small_file_bytes is None:
         return True
-    small = [f for f in files if os.path.getsize(f) < small_file_bytes]
+
+    def _is_small(f: str) -> bool:
+        # a file can vanish between listing and stat (concurrent
+        # finalize/repair of the same table): treat it as not-small
+        # rather than aborting the whole maintenance sweep
+        try:
+            return os.path.getsize(f) < small_file_bytes
+        except OSError:
+            return False
+
+    small = [f for f in files if _is_small(f)]
     return len(small) >= min_files
 
 

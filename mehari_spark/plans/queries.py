@@ -2081,10 +2081,15 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_near_dup_pairs
 
     # the DERIVED corpus (mapInPandas union) is consumed by the signature
-    # scan and both exact-re-rank join sides; checkpoint it once — at real
-    # scale the corpus is a parquet table and this node is just the scan
-    corpus = _near_dup_corpus(_read(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=False
+    # scan and both exact-re-rank join sides; materialize it once via the
+    # bounded stage cache — at real scale the corpus is a parquet table
+    # and this node is just the scan
+    from ..plans.stagecache import materialize_once
+
+    corpus = materialize_once(
+        spark,
+        ("near_dup_corpus", sf_dir),
+        lambda: _near_dup_corpus(_read(spark, sf_dir, "embeddings")),
     )
     return lsh_near_dup_pairs(corpus, threshold=0.9)
 

@@ -77,6 +77,29 @@ def shared_stage(
     return df
 
 
+def materialize_once(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Compute-once materialization for a stage consumed by multiple plan
+    branches (e.g. both sides of a band self-join), WITHOUT leaking blocks.
+
+    Normal path: routes through the bounded ``shared_stage`` LRU — the
+    persisted blocks are evicted (unpersisted) once 4 newer stages exist
+    and on session change, so repeated query builds in a long-lived
+    session (bench reps, session-scoped pytest) never accrete
+    block-manager storage the way per-invocation ``localCheckpoint``
+    blocks did. Because ``persist`` keeps lineage, an evicted stage a
+    caller still references simply recomputes instead of failing.
+
+    Under ``cache_disabled()`` (cold-plan metrics capture): falls back to
+    a lazy ``localCheckpoint`` so captured plans keep the same
+    materialize-once shape they are benchmarked with, rather than
+    silently showing a double-compute the cached path never executes."""
+    if _DISABLED:
+        return build().localCheckpoint(eager=False)
+    return shared_stage(spark, key, build)
+
+
 def clear_shared_stages() -> None:
     """Unpersist and forget every cached stage (bench calls this between
     repetitions so measurements stay cold)."""

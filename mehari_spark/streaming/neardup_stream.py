@@ -276,6 +276,12 @@ def stream_neardup_dedup(
     )
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # TTL queries run ~continuous timer-evaluation batches that carry
+        # no verdicts; writing those would accrete unbounded empty
+        # epoch=N dirs that read_verdicts' glob must then enumerate —
+        # skip them before any write happens
+        if batch_df.isEmpty():
+            return
         # all `bands` verdicts for a document arrive in its own trigger:
         # fold them here (min matching seen doc across bands); the
         # stateful operator never re-emits old documents, so each document
@@ -305,16 +311,43 @@ def read_verdicts(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(OUT_DDL).parquet(os.path.join(output_dir, "epoch=*"))
 
 
-def state_store_bytes(checkpoint_dir: str) -> int:
-    """Total on-disk size of the query's committed state store — the
-    measured evidence for the tokens-vs-signature state-size comparison
-    (bench_streaming.py reports both modes on the same corpus)."""
-    total = 0
+def state_store_bytes(checkpoint_dir: str, mode: str = "live") -> int:
+    """On-disk size of the query's committed state store — the measured
+    evidence for the tokens-vs-signature state-size comparison
+    (bench_streaming.py reports both modes on the same corpus).
+
+    ``mode="live"`` (default) approximates the CURRENT state: per state
+    partition directory, the newest ``.snapshot`` plus every ``.delta``
+    newer than it (a partition that has never snapshotted contributes all
+    its deltas — each key's latest value appears in some delta, so this
+    upper-bounds live state but never counts superseded snapshot
+    history). ``mode="cumulative"`` sums every retained version — the
+    full on-disk history, which grows with trigger count regardless of
+    live state size."""
     root = os.path.join(checkpoint_dir, "state")
+    total = 0
     for dirpath, _dirnames, filenames in os.walk(root):
+        versioned: list[tuple[int, str, str]] = []
         for fn in filenames:
+            stem, dot, ext = fn.partition(".")
+            if dot and ext in ("delta", "snapshot") and stem.isdigit():
+                versioned.append((int(stem), ext, os.path.join(dirpath, fn)))
+        if not versioned:
+            continue
+        if mode == "cumulative":
+            keep = [p for _v, _e, p in versioned]
+        else:
+            snaps = [v for v, e, _p in versioned if e == "snapshot"]
+            floor_v = max(snaps) if snaps else -1
+            keep = [
+                p
+                for v, e, p in versioned
+                if (e == "snapshot" and v == floor_v)
+                or (e == "delta" and v > floor_v)
+            ]
+        for p in keep:
             try:
-                total += os.path.getsize(os.path.join(dirpath, fn))
+                total += os.path.getsize(p)
             except OSError:
                 pass
     return total

@@ -118,10 +118,19 @@ def run_dataprep(
     run_id: str = "dataprep",
     n_buckets: int = 8,
     near_dup_threshold: float = 0.95,
+    mixture_weights: dict[str, float] | None = None,
 ) -> dict:
     """Full curation job: verdict table -> bucketed committed write of the
     KEPT corpus + stage counters. Returns the counters dict (also appended
-    to ``<out_dir>/_metrics.jsonl``)."""
+    to ``<out_dir>/_metrics.jsonl``).
+
+    ``mixture_weights``: optional final assembly stage — per-source
+    weighted sampling (operators/curation.py:mixture_sample) over the
+    KEPT corpus; the (doc_id, lang, epoch) plan lands in
+    ``<out_dir>/mixture`` and ``n_mixture_rows`` joins the counters.
+    Mixture runs AFTER dedup by construction (sampling is
+    content-independent, so surviving representatives sample
+    independently)."""
     from .lineage import write_bucketed, write_metrics
 
     verdict = curate_documents(docs, near_dup_threshold).localCheckpoint(
@@ -153,5 +162,18 @@ def run_dataprep(
         sort_cols=["doc_id"],
     )
     counters["n_buckets_written"] = sum(0 if r.skipped else 1 for r in results)
+    if mixture_weights is not None:
+        import os
+
+        from ..operators.curation import mixture_sample
+
+        kept_docs = docs.join(
+            verdict.filter(F.col("kept")).select("doc_id"), "doc_id"
+        )
+        mixture = mixture_sample(kept_docs, mixture_weights)
+        mixture.write.mode("overwrite").parquet(os.path.join(out_dir, "mixture"))
+        counters["n_mixture_rows"] = spark.read.parquet(
+            os.path.join(out_dir, "mixture")
+        ).count()
     write_metrics(out_dir, run_id, "dataprep", counters)
     return counters

@@ -774,62 +774,30 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.curation import (
     CONTAMINATION_ORACLE,
+    DEMO_MIXTURE,
+    MIXTURE_SAMPLE_ORACLE,
     SHARD_PACKING_ORACLE,
     TRAIN_SPLIT_ORACLE,
 )
 from ..operators.sketch import TOKEN_DISTINCT_ORACLE, TOKEN_QUANTILE_ORACLE
 
 
-@register(
-    "events_funnel",
-    """WITH ev AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
-),
-v AS (
-  SELECT user_id, MIN(ts_ms) AS t_view FROM ev
-  WHERE event_type = 'view' GROUP BY user_id
-),
-c AS (
-  SELECT e.user_id, MIN(e.ts_ms) AS t_click
-  FROM ev e JOIN v USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
-  GROUP BY e.user_id
-),
-p AS (
-  SELECT e.user_id, MIN(e.ts_ms) AS t_purchase
-  FROM ev e JOIN c USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
-  GROUP BY e.user_id
-)
-SELECT u.user_id,
-       COALESCE(v.t_view, -1)::BIGINT AS t_view,
-       COALESCE(c.t_click, -1)::BIGINT AS t_click,
-       COALESCE(p.t_purchase, -1)::BIGINT AS t_purchase,
-       (CASE WHEN p.user_id IS NOT NULL THEN 3
-             WHEN c.user_id IS NOT NULL THEN 2
-             WHEN v.user_id IS NOT NULL THEN 1
-             ELSE 0 END)::BIGINT AS stage
-FROM (SELECT DISTINCT user_id FROM ev) u
-LEFT JOIN v USING (user_id)
-LEFT JOIN c USING (user_id)
-LEFT JOIN p USING (user_id)""",
-)
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-funnel completion (sequential pattern matching): per user,
-    the earliest view, the earliest click strictly AFTER that view, and
-    the earliest purchase strictly after that click — stage = steps
-    completed in order. Expressed as chained conditional-min aggregates
-    joined on user_id (every shuffle shares the same key, so the stages
-    co-partition; no UDF, no per-user collect). Missing steps surface as
-    -1 (bigint-stable across engines)."""
+def funnel(spark: SparkSession, sf_dir: str, steps: tuple[str, ...]) -> DataFrame:
+    """N-step ordered-funnel completion (sequential pattern matching):
+    per user, the earliest step-1 event, the earliest step-2 event
+    strictly AFTER that, ... — stage = steps completed in order.
+    Expressed as chained conditional-min aggregates joined on user_id
+    (every shuffle shares the same key, so the stages co-partition; no
+    UDF, no per-user collect). Missing steps surface as -1
+    (bigint-stable across engines). ``steps`` is any ordered sequence of
+    event types; the oracle is generated from the same list
+    (``funnel_oracle``)."""
     ev = _read(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
     )
-    users = ev.select("user_id").distinct()
-    steps = ("view", "click", "purchase")
-    cur = users
+    cur = ev.select("user_id").distinct()
     prev = None
     for s in steps:
         stepdf = ev.filter(F.col("event_type") == s)
@@ -841,20 +809,75 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = stepdf.groupBy("user_id").agg(F.min("ts_ms").alias(f"t_{s}"))
         cur = cur.join(agg, "user_id", "left")
         prev = f"t_{s}"
-    stage = (
-        F.when(F.col("t_purchase").isNotNull(), 3)
-        .when(F.col("t_click").isNotNull(), 2)
-        .when(F.col("t_view").isNotNull(), 1)
-        .otherwise(0)
-        .cast("long")
-    )
+    # built forward so the LAST completed step's branch is outermost:
+    # when(t_last, N).otherwise(when(t_prev, N-1).otherwise(...))
+    stage = F.lit(0)
+    for i, s in enumerate(steps):
+        stage = F.when(F.col(f"t_{s}").isNotNull(), i + 1).otherwise(stage)
     return cur.select(
         "user_id",
-        F.coalesce(F.col("t_view"), F.lit(-1)).alias("t_view"),
-        F.coalesce(F.col("t_click"), F.lit(-1)).alias("t_click"),
-        F.coalesce(F.col("t_purchase"), F.lit(-1)).alias("t_purchase"),
-        stage.alias("stage"),
+        *[
+            F.coalesce(F.col(f"t_{s}"), F.lit(-1)).alias(f"t_{s}")
+            for s in steps
+        ],
+        stage.cast("long").alias("stage"),
     )
+
+
+def funnel_oracle(steps: tuple[str, ...]) -> str:
+    """DuckDB oracle generated from the SAME step list as ``funnel``."""
+    ctes = [
+        "ev AS (\n  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events\n)"
+    ]
+    prev = None
+    for i, s in enumerate(steps):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (\n  SELECT user_id, MIN(ts_ms) AS t_{s} FROM ev\n"
+                f"  WHERE event_type = '{s}' GROUP BY user_id\n)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (\n  SELECT e.user_id, MIN(e.ts_ms) AS t_{s}\n"
+                f"  FROM ev e JOIN s{i - 1} USING (user_id)\n"
+                f"  WHERE e.event_type = '{s}' AND e.ts_ms > s{i - 1}.t_{prev}\n"
+                f"  GROUP BY e.user_id\n)"
+            )
+        prev = s
+    cols = ",\n       ".join(
+        f"COALESCE(s{i}.t_{s}, -1)::BIGINT AS t_{s}"
+        for i, s in enumerate(steps)
+    )
+    cases = "\n             ".join(
+        f"WHEN s{i}.user_id IS NOT NULL THEN {i + 1}"
+        for i in reversed(range(len(steps)))
+    )
+    joins = "\n".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(len(steps)))
+    return f"""WITH {",".join(ctes)}
+SELECT u.user_id,
+       {cols},
+       (CASE {cases}
+             ELSE 0 END)::BIGINT AS stage
+FROM (SELECT DISTINCT user_id FROM ev) u
+{joins}"""
+
+
+_FUNNEL3 = ("view", "click", "purchase")
+_FUNNEL4 = ("view", "click", "signup", "purchase")
+
+
+@register("events_funnel", funnel_oracle(_FUNNEL3))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ordered funnel (view -> click -> purchase); see ``funnel``."""
+    return funnel(spark, sf_dir, _FUNNEL3)
+
+
+@register("events_funnel4", funnel_oracle(_FUNNEL4))
+def events_funnel4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step ordered funnel (view -> click -> signup -> purchase) from
+    the SAME parameterized chained-conditional-min generator as the
+    3-step entry — funnel depth is an argument, not a rewrite."""
+    return funnel(spark, sf_dir, _FUNNEL4)
 
 
 @register("doc_train_split", TRAIN_SPLIT_ORACLE)
@@ -870,13 +893,29 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_shard_packing", SHARD_PACKING_ORACLE)
 def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget shard packing via per-lang cumulative-sum
-    window (pure integer arithmetic) — the document-level sequence
-    packing pass of a training-data pipeline, parallel across the
-    partition key."""
+    """Greedy token-budget shard packing as a TWO-PASS distributed
+    prefix sum — per-(lang, doc_id-range-bucket) local cumsums re-based
+    by broadcast bucket offsets, exactly equal to the per-lang global
+    cumsum the oracle computes but parallel WITHIN a language (the 100 TB
+    shape; a single PARTITION BY lang window serializes each language
+    through one task). Pure integer arithmetic."""
     from ..operators.curation import shard_packing
 
     return shard_packing(_read(spark, sf_dir, "documents"))
+
+
+@register("doc_mixture_sample", MIXTURE_SAMPLE_ORACLE)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling — the final training-data assembly
+    stage ("3 epochs of wiki, 0.5 of crawl"): per-source repetition
+    epochs for weight >= 1, deterministic md5(doc_id:epoch)-threshold
+    subsample for the fractional remainder, sources absent from the
+    weights dropped. Broadcast epoch plan + explode + hash filter: one
+    corpus scan, no shuffle, stable under re-ingestion. Oracle generated
+    from the SAME weights dict (operators/curation.py)."""
+    from ..operators.curation import mixture_sample
+
+    return mixture_sample(_read(spark, sf_dir, "documents"), DEMO_MIXTURE)
 
 
 @register("doc_contamination", CONTAMINATION_ORACLE)
@@ -2815,6 +2854,8 @@ _REGISTRY_ORDER = [
     "doc_shard_packing",
     "doc_contamination",
     "events_funnel",
+    "events_funnel4",
+    "doc_mixture_sample",
 ]
 
 # load-bearing invariants: explicit raises, NOT `assert` — asserts are

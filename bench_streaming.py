@@ -141,13 +141,13 @@ def main() -> None:
 
     # --- state-mode comparison: throughput + measured state bytes ---
     # On a LONG-DOC corpus (the real-corpus shape): the demo docs hold
-    # only ~30 distinct tokens, FEWER than the 128-perm signature, which
-    # would invert the comparison (measured: 73 MB tokens vs 412 MB
-    # signature state on the tiny-doc corpus). Real documents carry
-    # hundreds-to-thousands of distinct tokens; signature state is the
-    # constant-size mode THERE. Expand each doc to ~600 distinct tokens
-    # (x20 suffix-tagged copies, near-dup structure preserved) and
-    # measure both modes on the same corpus.
+    # only ~30 distinct tokens, fewer than the 128-perm signature, so
+    # signature mode's adaptive payload stores them EXACTLY and the two
+    # modes tie there by construction. The bound only bites where docs
+    # exceed num_perm distinct tokens. Expand each doc to ~600 distinct
+    # tokens (x20 suffix-tagged copies, near-dup structure preserved)
+    # and measure both modes on the same corpus. state_bytes is the LIVE
+    # store (latest snapshot + newer deltas), not cumulative history.
     expanded = F.array_join(
         F.flatten(
             F.transform(

@@ -27,20 +27,31 @@ STATE MODES (the 100 TB knob):
   array; re-rank is EXACT token-set Jaccard (the batch path's re-rank,
   incremental). Verdict-identical to batch, but state grows with corpus
   TEXT volume: O(docs x bands x tokens).
-- ``state_mode="signature"`` — state stores only the num_perm MinHash
-  signature (constant 8*num_perm bytes ~ 1 KB/doc/band at 128 perms);
-  re-rank is ESTIMATED Jaccard (fraction of agreeing signature positions,
-  an unbiased estimator with std sqrt(J(1-J)/num_perm) ~ 0.02 at J=0.95).
-  This is the reference seen-KEYS discipline — constant-size state per
-  key, never payloads (db/mod.rs:208-309) — and the mode that holds at
-  100 TB. Verdicts agree with batch wherever |J - threshold| clears a few
-  estimator sigma; pairs within ~2 sigma of the threshold may flip
-  (tests pin exact agreement on a margin-clear corpus, deterministic
-  under the fixed seed). MEASURED caveat: on degenerate tiny-set corpora
-  (~30 distinct tokens/doc, like the sf0.001 demo table) the
-  2-independent-hash estimator biases UP (J=0.83 pairs estimating ~0.91)
-  — use tokens mode there; signature mode targets real long-doc corpora
-  where the bias vanishes.
+- ``state_mode="signature"`` — BOUNDED state: per doc/band at most
+  num_perm longs + a 2-long header (~1 KB at 128 perms). Adaptive
+  payload: a doc with <= num_perm distinct tokens stores its EXACT
+  token-hash set (no larger than the signature would be — short sets
+  are where estimation is least reliable AND where exact is free), a
+  longer doc stores the num_perm MinHash signature. Exact-vs-exact
+  re-ranks are exact Jaccard; any comparison involving a signature uses
+  the BAND-EXCLUDED agreement estimator: the fraction of agreeing
+  positions OUTSIDE this bucket's own band. Conditioning on a band
+  collision forces that band's rows equal, which inflates the naive
+  all-positions estimator by ~(1-J)/bands (measured +0.030 at J~0.8 on
+  the demo corpus, the previously-documented "tiny-set bias" — it was
+  SELECTION bias, not hash-family bias); excluding the colliding band
+  restores an unbiased estimate (measured residual +0.007, the
+  second-order multi-band-collision term) with std
+  sqrt(J(1-J)/(num_perm - num_perm/bands)) ~ 0.02 at J=0.95. A
+  stored-size header also lets every comparison run the same
+  min/max-size prefilter as the batch path. This is the reference
+  seen-KEYS discipline — constant-bounded state per key, never
+  unbounded payloads (db/mod.rs:208-309) — and the mode that holds at
+  100 TB. Verdicts agree with batch everywhere short docs are involved
+  (exact) and wherever |J - threshold| clears a few estimator sigma for
+  long ones; sig-vs-sig pairs within ~2 sigma of the threshold may
+  still flip (tests pin exact agreement on the sf0.001 demo corpus —
+  all-short, fully exact — and on a margin-clear long-doc corpus).
 
 STATE TTL (``state_ttl_ms``): bounds the dedup horizon. Buckets idle
 longer than the TTL are purged (ProcessingTimeTimeout — purge fires on
@@ -81,6 +92,17 @@ STATE_DDL = "ids array<long>, payloads array<array<long>>"
 OUT_DDL = "doc_id long, dup_of long, is_new boolean"
 
 
+# payload layout (state + wire): [tag, n_distinct, *data]
+#   tag 0 = exact  — data is the sorted hashed distinct-token set (int64
+#           view of the uint64 hashes; the bit pattern is what matters)
+#   tag 1 = signature — data is the num_perm MinHash signature (values
+#           < 2^61, fit int64)
+# In signature mode the payload is ADAPTIVE: tag 0 whenever the token
+# set is no larger than the signature would be (bounded either way);
+# tokens mode is always tag 0 (unbounded exact state).
+_TAG_EXACT, _TAG_SIG = 0, 1
+
+
 def _band_rows(
     it: Iterable[pd.DataFrame],
     num_perm: int,
@@ -89,9 +111,7 @@ def _band_rows(
     signature_state: bool,
 ) -> Iterator[pd.DataFrame]:
     """Per document: ``bands`` rows carrying the band bucket key and the
-    state payload — the hashed distinct-token set (tokens mode; int64 view
-    of the uint64 hashes, the bit pattern is what matters) or the num_perm
-    MinHash signature (signature mode; values < 2^61 so they fit int64)."""
+    tagged state payload (see layout above)."""
     a, b = perm_params(num_perm, seed=seed)
     for pdf in it:
         ids: list[int] = []
@@ -102,9 +122,14 @@ def _band_rows(
             tok_list = sorted(set((txt or "").split(" ")))
             th = np.sort(hash_tokens(tok_list))
             sig = minhash_signature(th, a, b)
-            payload = (
-                sig.astype(np.int64) if signature_state else th.view(np.int64)
-            )
+            if signature_state and th.size > num_perm:
+                payload = np.concatenate(
+                    ([_TAG_SIG, th.size], sig.astype(np.int64))
+                )
+            else:
+                payload = np.concatenate(
+                    ([_TAG_EXACT, th.size], th.view(np.int64))
+                )
             for bi, bk in enumerate(band_keys(sig, bands)):
                 ids.append(doc_id)
                 bidx.append(bi)
@@ -138,14 +163,21 @@ def _empty_verdicts(band_idx: int = 0, band_key: int = 0) -> pd.DataFrame:
 
 
 def _make_bucket_update(
-    threshold: float, signature_state: bool, ttl_ms: int | None
+    threshold: float,
+    ttl_ms: int | None,
+    num_perm: int,
+    bands: int,
+    seed: int,
 ):
+    rpb = num_perm // bands
+
     def update(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             # bucket idle past the dedup horizon: forget it entirely
             state.remove()
             yield _empty_verdicts()
             return
+        a, b = perm_params(num_perm, seed=seed)
         ids: list[int] = []
         payloads: list[np.ndarray] = []
         if state.exists:
@@ -155,6 +187,29 @@ def _make_bucket_update(
         out_ids: list[int] = []
         out_dup: list[object] = []
         band_idx, band_key = int(key[0]), int(key[1])
+        # BAND-EXCLUDED estimator mask: membership in THIS bucket already
+        # conditions on this band's rows agreeing, so those positions
+        # carry no information about J — including them inflates the
+        # estimate by ~(1-J)/bands (selection bias, measured; module
+        # docstring). Estimate from the other bands' positions only.
+        est_mask = np.ones(num_perm, dtype=bool)
+        est_mask[band_idx * rpb : (band_idx + 1) * rpb] = False
+        sig_cache: dict[int, np.ndarray] = {}
+
+        def _sig_of(entry_id: int, tag: int, data: np.ndarray) -> np.ndarray:
+            # signature for a mixed comparison: stored directly (tag 1)
+            # or recomputed from the exact token hashes (tag 0 — cheap:
+            # <= num_perm tokens by construction)
+            got = sig_cache.get(entry_id)
+            if got is None:
+                got = (
+                    data.view(np.uint64)
+                    if tag == _TAG_SIG
+                    else minhash_signature(data.view(np.uint64), a, b)
+                )
+                sig_cache[entry_id] = got
+            return got
+
         rows = []
         for pdf in pdf_iter:
             rows.extend(zip(pdf["doc_id"].tolist(), pdf["payload"].tolist()))
@@ -162,29 +217,30 @@ def _make_bucket_update(
         rows.sort(key=lambda r: r[0])
         for doc_id, pl in rows:
             pl = np.asarray(pl, dtype=np.int64)
+            tag_d, n_d, data_d = int(pl[0]), int(pl[1]), pl[2:]
+            dup_of = None
             # match against EVERY seen entry regardless of id order —
             # verdicts are keep-first-ARRIVAL, robust to out-of-order
             # delivery (== keep-lowest-id under monotone ingest)
-            if signature_state and ids:
-                mat = np.stack(payloads)  # (n_seen, num_perm) — fixed width
-                est = (mat == pl[None, :]).mean(axis=1)
-                hit = [
-                    ids[i]
-                    for i in np.flatnonzero(est >= threshold)
-                    if ids[i] != doc_id
-                ]
-                dup_of = min(hit) if hit else None
-            else:
-                dup_of = None
-                for eid, et in zip(ids, payloads):
-                    if eid == doc_id:
-                        continue
-                    # size prefilter (J <= min/max): skip impossible pairs
-                    lo, hi = min(pl.size, et.size), max(pl.size, et.size)
-                    if hi and lo < threshold * hi:
-                        continue
-                    if _jaccard(pl, et) >= threshold:
-                        dup_of = eid if dup_of is None else min(dup_of, eid)
+            for eid, ep in zip(ids, payloads):
+                if eid == doc_id:
+                    continue
+                tag_e, n_e, data_e = int(ep[0]), int(ep[1]), ep[2:]
+                # size prefilter (J <= min/max) from the stored distinct
+                # counts: skip impossible pairs before any compare
+                lo, hi = min(n_d, n_e), max(n_d, n_e)
+                if hi and lo < threshold * hi:
+                    continue
+                if tag_d == _TAG_EXACT and tag_e == _TAG_EXACT:
+                    match = _jaccard(data_d, data_e) >= threshold
+                else:
+                    est = (
+                        _sig_of(doc_id, tag_d, data_d)
+                        == _sig_of(eid, tag_e, data_e)
+                    )[est_mask].mean()
+                    match = est >= threshold
+                if match:
+                    dup_of = eid if dup_of is None else min(dup_of, eid)
             out_ids.append(doc_id)
             out_dup.append(dup_of)
             # EVERY arrival joins the seen set — dropped docs included, so
@@ -229,9 +285,10 @@ def stream_neardup_dedup(
     similar document. Filter ``is_new`` for the deduped corpus.
 
     ``state_mode``: "tokens" (exact re-rank, batch-identical verdicts,
-    payload-sized state) or "signature" (estimated re-rank, constant
-    ~8*num_perm bytes/doc/band state — the 100 TB mode). ``state_ttl_ms``
-    bounds the dedup horizon (see module docstring).
+    payload-sized state) or "signature" (BOUNDED <= num_perm longs + 2
+    per doc/band — the 100 TB mode; adaptive exact-below-the-bound
+    payloads + band-excluded estimator, see module docstring).
+    ``state_ttl_ms`` bounds the dedup horizon (see module docstring).
 
     ``trigger_available_now``: run as Trigger.AvailableNow — process
     everything currently in ``input_dir`` then stop (wait with
@@ -264,7 +321,7 @@ def stream_neardup_dedup(
         schema=BAND_DDL,
     )
     verdicts = band_stream.groupBy("band_idx", "band_key").applyInPandasWithState(
-        _make_bucket_update(threshold, signature_state, state_ttl_ms),
+        _make_bucket_update(threshold, state_ttl_ms, num_perm, bands, seed),
         outputStructType=VERDICT_DDL,
         stateStructType=STATE_DDL,
         outputMode="update",

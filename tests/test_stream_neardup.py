@@ -119,18 +119,55 @@ class TestStreamingNearDup:
 
 
 class TestSignatureStateMode:
+    def test_signature_mode_agrees_with_batch_on_demo_corpus(
+        self, spark, tmp_path
+    ):
+        """The previously-documented short-set caveat is CLOSED: in
+        signature mode, docs with <= num_perm distinct tokens store their
+        exact token-hash set (no bigger than the signature — state stays
+        bounded) and re-rank exactly, so the all-short sf0.001 demo
+        corpus produces batch-identical verdicts in the bounded-state
+        mode too."""
+        from mehari_spark.operators.dedup import minhash_lsh_pairs
+
+        from .conftest import SF_UNIT
+
+        docs = (
+            spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+            .select("doc_id", "lang", "text")
+            .limit(300)
+        )
+        in_dir, out_dir, ck = (
+            str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        docs.filter(F.col("doc_id") < 150).write.mode("append").parquet(in_dir)
+        q = stream_neardup_dedup(
+            spark, in_dir, out_dir, ck, threshold=0.9, state_mode="signature"
+        )
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") >= 150).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        q.stop()
+        streamed_dropped = {
+            r.doc_id
+            for r in read_verdicts(spark, out_dir).filter("NOT is_new").collect()
+        }
+        batch_dropped = {
+            r.doc_b
+            for r in minhash_lsh_pairs(docs, threshold=0.9).select("doc_b").collect()
+        }
+        assert streamed_dropped == batch_dropped
+        assert read_verdicts(spark, out_dir).count() == docs.count()
+
     def test_signature_state_agrees_with_batch(self, spark, tmp_path):
-        """The 100 TB mode: state = MinHash signatures only. On a margin-
-        clear corpus (near-dups J~0.985, background far below threshold —
-        the shape of a real long-doc corpus) the estimated-Jaccard re-rank
-        yields the SAME dropped set as the batch exact path at threshold
-        0.95 (verified offline: 60/60 candidate pairs classify
-        identically, 0 flips, deterministic under the fixed seed). The
-        documented tolerance: pairs within ~2 estimator sigma
-        (sqrt(J(1-J)/128) ~ 0.02) of the threshold may flip — the sf0.001
-        demo corpus is degenerate that way (30-token sets bias the
-        2-independent-hash estimator upward), so tokens mode is the right
-        choice THERE; signature mode targets real corpora."""
+        """Long-doc regime (200+ distinct tokens > num_perm -> true
+        signature payloads): on a margin-clear corpus (near-dups J~0.985,
+        background far below threshold — the shape of a real long-doc
+        corpus) the band-excluded estimated-Jaccard re-rank yields the
+        SAME dropped set as the batch exact path at threshold 0.95,
+        deterministic under the fixed seed. Residual tolerance: sig-vs-sig
+        pairs within ~2 estimator sigma (sqrt(J(1-J)/112) ~ 0.02) of the
+        threshold may flip — short docs are exact and cannot."""
         from mehari_spark.operators.dedup import minhash_lsh_pairs
 
         rows = []

@@ -185,6 +185,45 @@ def main() -> None:
     )
     out["state_mode"] = modes
 
+    # --- composed ingest pipeline: quality -> exact dedup -> near-dup ---
+    # one end-to-end rows/s over BOTH chained queries (storage-boundary
+    # topology) + live state bytes per stage on the same replicated corpus
+    from mehari_spark.streaming.ingest_pipeline import (
+        process_all,
+        read_pipeline_verdicts,
+        stream_ingest_pipeline,
+    )
+
+    pipe_out = os.path.join(tmp, "pipe_out")
+    pipe_ck = os.path.join(tmp, "pipe_ck")
+    t0 = time.time()
+    q1, q2 = stream_ingest_pipeline(
+        spark, doc_dir, pipe_out, pipe_ck, threshold=0.95,
+        max_files_per_trigger=64,
+    )
+    process_all(q1, q2)
+    q1.stop(); q2.stop()
+    dt = time.time() - t0
+    vcounts = {
+        r.verdict: r.n
+        for r in read_pipeline_verdicts(spark, pipe_out)
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out["ingest_pipeline"] = {
+        "rows": n_docs,
+        "sec": round(dt, 2),
+        "rows_per_sec": round(n_docs / dt, 1),
+        "state_bytes_stage1_exact": state_store_bytes(
+            os.path.join(pipe_ck, "stage1")
+        ),
+        "state_bytes_stage2_neardup": state_store_bytes(
+            os.path.join(pipe_ck, "stage2")
+        ),
+        "verdicts": vcounts,
+    }
+
     # --- sessionization (unchanged headline) ---
     ev_dir = os.path.join(tmp, "events_in")
     (

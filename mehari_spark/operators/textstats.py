@@ -119,6 +119,23 @@ def doc_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     )
 
 
+def quality_reasons(text_col):
+    """The quality-gate reasons BITMASK as a reusable Column expression —
+    shared by the batch filter and the streaming ingest pipeline so both
+    gates are definitionally identical. Pure Catalyst, stream-safe."""
+    toks = F.split(text_col, " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        F.when(n_tokens < 10, 1).otherwise(0)
+        + F.when(n_tokens > 1000, 2).otherwise(0)
+        + F.when(100 * n_distinct < 20 * n_tokens, 4).otherwise(0)
+        + F.when(n_stop == 0, 8).otherwise(0)
+    ).cast("int")
+
+
 def quality_filter(docs: DataFrame) -> DataFrame:
     """Gopher-style pretraining quality filter: every doc gets a reasons
     BITMASK (the hard/soft Reason-enum discipline of mehari's dictionary
@@ -131,20 +148,10 @@ def quality_filter(docs: DataFrame) -> DataFrame:
       bit 8 — no stopword           (n_stopwords == 0)
     kept = reasons == 0. Pure Catalyst expressions, one narrow pass.
     """
-    toks = F.split(F.col("text"), " ")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    reasons = (
-        F.when(n_tokens < 10, 1).otherwise(0)
-        + F.when(n_tokens > 1000, 2).otherwise(0)
-        + F.when(100 * n_distinct < 20 * n_tokens, 4).otherwise(0)
-        + F.when(n_stop == 0, 8).otherwise(0)
-    ).cast("int")
+    reasons = quality_reasons(F.col("text"))
     return docs.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         reasons.alias("filter_reasons"),
         (reasons == 0).alias("kept"),
     )

@@ -216,9 +216,12 @@ def assign_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    with_sim: bool = False,
 ) -> DataFrame:
-    """(vec_id, centroid) via vectorized argmax of dot products (one matmul
-    per Arrow batch). Centroids ride as a broadcast variable."""
+    """(vec_id, centroid[, cq_sim]) via vectorized argmax of dot products
+    (one matmul per Arrow batch). Centroids ride as a broadcast variable.
+    ``with_sim`` adds the winning cosine — the per-vector quantization
+    quality the index build/append paths aggregate into drift stats."""
     bc = (
         embeddings.sparkSession.sparkContext.broadcast(centroids)
         if centroids is not None
@@ -236,16 +239,18 @@ def assign_centroids(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ cents.T
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].astype("int64"),
-                    "centroid": pd.Series(sims.argmax(axis=1), dtype="int32"),
-                }
-            )
+            cols = {
+                "vec_id": pdf[id_col].astype("int64"),
+                "centroid": pd.Series(sims.argmax(axis=1), dtype="int32"),
+            }
+            if with_sim:
+                cols["cq_sim"] = pd.Series(sims.max(axis=1), dtype="float64")
+            yield pd.DataFrame(cols)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema="vec_id long, centroid int"
+    schema = "vec_id long, centroid int" + (
+        ", cq_sim double" if with_sim else ""
     )
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(
@@ -342,14 +347,20 @@ def build_ivf_index(
     paid ONCE at index build; every query afterwards reads only its nprobe
     probed cells — Spark partition pruning turns the cell probe into a
     physical skip of the other partitions' files (the FAISS inverted-list
-    seek, expressed as parquet layout). Returns the trained centroids."""
+    seek, expressed as parquet layout). Each cell row carries its
+    ``cq_sim`` (cosine to its centroid); the build writes
+    ``stats.json`` with the corpus mean — the baseline ``append_ivf_index``
+    measures drift against. Returns the trained centroids."""
+    import json
     import os
 
+    spark = embeddings.sparkSession
     trained = train_centroids(
         embeddings, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
     )
     assigned = assign_centroids(
-        embeddings, n_centroids, seed, id_col, vec_col, centroids=trained
+        embeddings, n_centroids, seed, id_col, vec_col,
+        centroids=trained, with_sim=True,
     )
     (
         embeddings.select(id_col, vec_col)
@@ -364,7 +375,112 @@ def build_ivf_index(
         .parquet(os.path.join(index_path, "cells"))
     )
     np.save(os.path.join(index_path, "centroids.npy"), trained)
+    # quantization-quality baseline from the WRITTEN cells (columnar read
+    # of one double column — no recompute of the assignment scan)
+    row = (
+        spark.read.parquet(os.path.join(index_path, "cells"))
+        .agg(F.count("*").alias("n"), F.avg("cq_sim").alias("m"))
+        .first()
+    )
+    with open(os.path.join(index_path, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_vectors": int(row["n"]),
+                "mean_cq_sim": float(row["m"]),
+                "n_centroids": int(n_centroids),
+                "seed": int(seed),
+            },
+            f,
+        )
     return trained
+
+
+def append_ivf_index(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retrain_drift_threshold: float | None = None,
+) -> dict:
+    """Incrementally append vectors to a ``build_ivf_index`` index.
+
+    New vectors are assigned with the SAME stored centroids and appended
+    into the existing ``centroid=N`` parquet partitions (one new file per
+    touched cell per append — ``plans/compact.py`` is the maintenance job
+    when appends accumulate), so an append costs O(new vectors), never a
+    corpus rescan: the FAISS ``add``-to-inverted-lists discipline.
+
+    Drift gate: the appended batch's mean cosine-to-assigned-centroid is
+    compared to the build-time corpus mean (``stats.json``). If
+    ``retrain_drift_threshold`` is set and the mean dropped by more than
+    it — the new data no longer fits the trained cells, so probes would
+    lose recall — the whole index is REBUILT (retrain + reassign) from
+    the union corpus instead. Returns
+    ``{"action": "append" | "rebuild", "drift": ..., "n_appended": ...}``;
+    after either action the index answers queries identically to a
+    from-scratch build over the union (recall gate in
+    tests/test_ivf_index.py)."""
+    import json
+    import os
+
+    cells_path = os.path.join(index_path, "cells")
+    stats_path = os.path.join(index_path, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    cents = np.load(os.path.join(index_path, "centroids.npy"))
+    assigned = assign_centroids(
+        new_embeddings,
+        centroids=cents,
+        id_col=id_col,
+        vec_col=vec_col,
+        with_sim=True,
+    )
+    batch = new_embeddings.select(id_col, vec_col).join(assigned, id_col)
+    row = batch.agg(
+        F.count("*").alias("n"), F.avg("cq_sim").alias("m")
+    ).first()
+    n_new, mean_new = int(row["n"]), float(row["m"] or 0.0)
+    drift = stats["mean_cq_sim"] - mean_new
+    if (
+        retrain_drift_threshold is not None
+        and drift > retrain_drift_threshold
+    ):
+        # the stored quantizer no longer fits: rebuild from the union.
+        # materialize the existing corpus first — the rebuild overwrites
+        # the very files its input lineage would otherwise re-read mid-job
+        existing = (
+            spark.read.parquet(cells_path)
+            .select(id_col, vec_col)
+            .localCheckpoint(eager=True)
+        )
+        union = existing.unionByName(new_embeddings.select(id_col, vec_col))
+        build_ivf_index(
+            union,
+            index_path,
+            n_centroids=stats["n_centroids"],
+            seed=stats["seed"],
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        existing.unpersist()
+        return {"action": "rebuild", "drift": drift, "n_appended": n_new}
+    (
+        batch.repartition(stats["n_centroids"], "centroid")
+        .write.mode("append")
+        .partitionBy("centroid")
+        .parquet(cells_path)
+    )
+    n_total = stats["n_vectors"] + n_new
+    stats["mean_cq_sim"] = (
+        stats["mean_cq_sim"] * stats["n_vectors"] + mean_new * n_new
+    ) / max(n_total, 1)
+    stats["n_vectors"] = n_total
+    tmp = stats_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, stats_path)
+    return {"action": "append", "drift": drift, "n_appended": n_new}
 
 
 def ivf_query_topk(

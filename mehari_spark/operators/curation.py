@@ -119,8 +119,15 @@ def shard_packing(
     )
     local = lens.withColumn("local_cum", local_cum)
     # pass 2: per-bucket totals -> prefix offsets over the tiny bucket
-    # table (rows = #langs x #buckets — driver-scale metadata, the one
-    # serial window left and it never sees document rows)
+    # table (rows = #langs x #buckets — driver-scale metadata; the one
+    # serial window left never sees document rows). Aggregated from the
+    # narrow `lens` projection, NOT the windowed result: map-side combine
+    # makes this branch's shuffle carry only per-bucket partials (a
+    # totals-from-max-running-sum variant would reshuffle every document
+    # row a second time, and AQE does not reuse the window exchange
+    # across the two consumers — measured). The cost is a second pass
+    # over the 3-column projection, which at 100 TB reads a
+    # column-pruned fraction of the table.
     offsets = (
         lens.groupBy("lang", "bucket")
         .agg(F.sum("n_tokens").alias("btot"))

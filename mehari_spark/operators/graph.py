@@ -1,0 +1,265 @@
+"""Graph analytics over the materialized (subj, pred, obj) triple table.
+
+Once the KG-construction pipeline (mentions -> triples -> canonicalize ->
+coref) materializes its triple table, these are the queries a KG consumer
+runs against it: degree/hub profiles, 2-hop path rollups, a deterministic
+PageRank, and the temporal "current state" snapshot. The reference stops at
+emitting records (mehari annotates and writes, verify/seqvars.rs compares);
+downstream analytics is the Spark-native extension of that output table —
+same discipline as the rest of the repo: pure Catalyst plans, integer-only
+outputs, and a DuckDB oracle per operator.
+
+Scale notes (100 TB triple table):
+- ``entity_degree`` is ONE shuffle on entity_id over a union-all incidence
+  list (map-side combine applies; no join).
+- ``two_hop_paths`` joins the edge list to itself on the bridging entity.
+  Hub entities are the classic skew source: AQE skew-join splits the hot
+  partitions (enabled session-wide), and the aggregation keyed on
+  (pred1, pred2) is tiny. The output is a rollup, never the path set.
+- ``pagerank_int`` is the standard iterative join/agg loop; ranks and the
+  (src, dst, outdeg) edge relation shuffle-partition on the SAME key
+  (src = entity_id) so every iteration's join co-locates, and
+  ``checkpoint_every`` truncates lineage for deep iteration counts
+  (eager localCheckpoint, previous blocks released — no block-manager
+  leak). All arithmetic is 64-bit integer (micro-units, floor division),
+  so Spark and DuckDB agree bit-for-bit: no float-summation-order hazard
+  in the value hash.
+- ``triples_asof`` is one window over (subj_id, pred_id) — the latest
+  assertion wins, with a total deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# degree / hub profile
+# --------------------------------------------------------------------------
+
+
+def entity_degree(triples: DataFrame) -> DataFrame:
+    """(entity_id, n_out, n_in, n_preds_out, n_preds_in): triple-incidence
+    degree profile. One union-all + one groupBy (single shuffle)."""
+    inc = triples.select(
+        F.col("subj_id").alias("entity_id"),
+        F.lit(1).alias("is_out"),
+        "pred_id",
+    ).unionAll(
+        triples.select(
+            F.col("obj_id").alias("entity_id"),
+            F.lit(0).alias("is_out"),
+            "pred_id",
+        )
+    )
+    return inc.groupBy("entity_id").agg(
+        F.sum("is_out").cast("long").alias("n_out"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("n_in"),
+        F.countDistinct(F.when(F.col("is_out") == 1, F.col("pred_id"))).alias(
+            "n_preds_out"
+        ),
+        F.countDistinct(F.when(F.col("is_out") == 0, F.col("pred_id"))).alias(
+            "n_preds_in"
+        ),
+    )
+
+
+def entity_degree_oracle(triples_rel: str = "triples") -> str:
+    return f"""
+inc AS (
+  SELECT subj_id AS entity_id, 1 AS is_out, pred_id FROM {triples_rel}
+  UNION ALL
+  SELECT obj_id AS entity_id, 0 AS is_out, pred_id FROM {triples_rel}
+)
+SELECT entity_id,
+       SUM(is_out)::BIGINT AS n_out,
+       SUM(1 - is_out)::BIGINT AS n_in,
+       COUNT(DISTINCT CASE WHEN is_out = 1 THEN pred_id END)::BIGINT AS n_preds_out,
+       COUNT(DISTINCT CASE WHEN is_out = 0 THEN pred_id END)::BIGINT AS n_preds_in
+FROM inc GROUP BY entity_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 2-hop path rollup
+# --------------------------------------------------------------------------
+
+
+def two_hop_paths(triples: DataFrame) -> DataFrame:
+    """(pred1, pred2, n_paths, n_bridges): rollup of length-2 paths
+    a -[pred1]-> b -[pred2]-> c over the DISTINCT edge set.
+
+    The join key is the bridging entity b — hot hubs are split by AQE
+    skew-join; the output is the (pred1, pred2) rollup, so result size is
+    bounded by |predicates|^2 regardless of corpus size."""
+    edges = triples.select("subj_id", "pred_id", "obj_id").distinct()
+    a = edges.alias("a")
+    b = edges.alias("b")
+    return (
+        a.join(b, F.col("a.obj_id") == F.col("b.subj_id"))
+        .groupBy(
+            F.col("a.pred_id").alias("pred1"), F.col("b.pred_id").alias("pred2")
+        )
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct(F.col("a.obj_id")).alias("n_bridges"),
+        )
+    )
+
+
+def two_hop_paths_oracle(triples_rel: str = "triples") -> str:
+    return f"""
+pedges AS (SELECT DISTINCT subj_id, pred_id, obj_id FROM {triples_rel})
+SELECT a.pred_id AS pred1, b.pred_id AS pred2,
+       COUNT(*)::BIGINT AS n_paths,
+       COUNT(DISTINCT a.obj_id)::BIGINT AS n_bridges
+FROM pedges a JOIN pedges b ON a.obj_id = b.subj_id
+GROUP BY a.pred_id, b.pred_id
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic integer PageRank
+# --------------------------------------------------------------------------
+
+RANK_UNIT = 1_000_000  # micro-units: rank 1.0 == 1_000_000
+
+
+def pagerank_int(
+    triples: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(entity_id, rank_micro): PageRank in 64-bit integer micro-units.
+
+    Spec (identical on both engines, so the oracle is exact by
+    construction — no float summation-order hazard):
+    - edge set: DISTINCT (subj_id, obj_id), self-loops removed
+    - rank_0 = 1_000_000 per node
+    - rank_{i+1}(n) = (100-d)*10_000
+        + (d * SUM_{(m,n) in E} (rank_i(m) DIV outdeg(m))) DIV 100
+      with d = ``damping_pct`` and DIV = integer floor division; dangling
+      mass (nodes with no outlinks) is dropped, the standard simplification.
+
+    The join key every iteration is the source entity, so pre-partitioning
+    ranks and the (src, dst, outdeg) relation on the same key co-locates
+    the loop. ``checkpoint_every`` truncates lineage via EAGER
+    localCheckpoint and releases the previous checkpoint's blocks — deep
+    iteration counts stay O(1) in plan size and block storage."""
+    base = (100 - damping_pct) * 10_000
+    edges = (
+        triples.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("entity_id"))
+        .unionAll(edges.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    esrc = edges.join(outdeg, "src")  # (src, dst, outdeg)
+
+    ranks = nodes.select(
+        "entity_id", F.lit(RANK_UNIT).cast("long").alias("rank_micro")
+    )
+    prev_ckpt: DataFrame | None = None
+    for i in range(iters):
+        # ranks' lineage contains esrc/nodes after the first iteration:
+        # explicit aliases keep every join reference unambiguous
+        incoming = (
+            ranks.alias("r")
+            .join(esrc.alias("e"), F.col("r.entity_id") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                F.expr("r.rank_micro DIV e.outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(
+                incoming.alias("i"),
+                F.col("n.entity_id") == F.col("i.dst"),
+                "left",
+            )
+            .select(
+                F.col("n.entity_id").alias("entity_id"),
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(coalesce(i.incoming, 0L) * {damping_pct}) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ckpt = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                try:  # previous blocks no longer referenced: release
+                    prev_ckpt.rdd.unpersist()
+                except Exception:
+                    pass
+            prev_ckpt = ckpt
+            ranks = ckpt
+    return ranks
+
+
+def pagerank_int_oracle(
+    triples_rel: str = "triples", iters: int = 5, damping_pct: int = 85
+) -> str:
+    """Unrolled fixed-iteration SQL mirror of :func:`pagerank_int` (the
+    iteration count is a parameter of the operator, so the oracle is
+    GENERATED for the same count — same discipline as curation.py)."""
+    base = (100 - damping_pct) * 10_000
+    ctes = [
+        f"pedges AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {triples_rel} WHERE subj_id <> obj_id)",
+        "poutdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM pedges GROUP BY src)",
+        "pnodes AS (SELECT src AS entity_id FROM pedges UNION SELECT dst FROM pedges)",
+        f"pr0 AS (SELECT entity_id, CAST({RANK_UNIT} AS BIGINT) AS rank_micro FROM pnodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT n.entity_id,
+         CAST({base} + (COALESCE(s.incoming, 0) * {damping_pct}) // 100 AS BIGINT) AS rank_micro
+  FROM pnodes n LEFT JOIN (
+    SELECT e.dst, SUM(r.rank_micro // d.outdeg) AS incoming
+    FROM pr{i - 1} r
+    JOIN poutdeg d ON d.src = r.entity_id
+    JOIN pedges e ON e.src = r.entity_id
+    GROUP BY e.dst
+  ) s ON s.dst = n.entity_id
+)"""
+        )
+    return ",\n".join(ctes) + f"\nSELECT entity_id, rank_micro FROM pr{iters}"
+
+
+# --------------------------------------------------------------------------
+# temporal "current state" snapshot
+# --------------------------------------------------------------------------
+
+
+def triples_asof(triples_with_ts: DataFrame) -> DataFrame:
+    """(subj_id, pred_id, obj_id, ts_epoch): latest assertion per
+    (subj, pred) — the KG's current-state snapshot.
+
+    Input must carry ``ts_epoch`` (bigint) plus ``conv_id``/``turn_idx``
+    for the total deterministic tiebreak. One window shuffle keyed on
+    (subj_id, pred_id)."""
+    w = W.partitionBy("subj_id", "pred_id").orderBy(
+        F.desc("ts_epoch"),
+        F.desc("conv_id"),
+        F.desc("turn_idx"),
+        F.desc("obj_id"),
+    )
+    return (
+        triples_with_ts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("subj_id", "pred_id", "obj_id", "ts_epoch")
+    )

@@ -155,3 +155,205 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         reasons.alias("filter_reasons"),
         (reasons == 0).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# engine-portable regex subset: char classes + bounded quantifiers only,
+# identical semantics under Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, scrubbed): redact emails/phone numbers.
+
+    Pure Catalyst regexp_count/regexp_replace — the standard pre-training
+    PII pass, one scan, no shuffle, whole-stage codegen. Patterns are kept
+    to the Java-regex/RE2 common subset so the DuckDB oracle is exact."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias("scrubbed"),
+    )
+
+
+def pii_scrub_oracle(docs_rel: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all({text_expr}, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all({text_expr}, '{PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace({text_expr}, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+FROM {docs_rel}
+"""
+
+
+# --------------------------------------------------------------------------
+# integer-scaled TF-IDF top terms
+# --------------------------------------------------------------------------
+
+
+def tfidf_topterms(docs: DataFrame, k: int = 3, idf_scale: int = 1000) -> DataFrame:
+    """(doc_id, term, tf, score): top-k terms per doc by integer-scaled
+    TF-IDF — score = tf * ((N * idf_scale) DIV df), all 64-bit integer
+    floor arithmetic so Spark and DuckDB agree exactly (no log/float).
+
+    Plan: one shuffle on (doc_id, term) for tf, one on term for df, the
+    corpus size N broadcast as a 1-row scalar, one window on doc_id for
+    the top-k. Rarer terms get a strictly larger idf step, which is the
+    ordering TF-IDF exists to induce."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    from pyspark.sql import Window as _W
+
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.expr(f"(n_docs * {idf_scale}) DIV df")
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = _W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+def tfidf_topterms_oracle(
+    docs_rel: str = "documents", k: int = 3, idf_scale: int = 1000
+) -> str:
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {docs_rel}),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+idf AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM {docs_rel}),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (tf.tf * ((n.n_docs * {idf_scale}) // idf.df))::BIGINT AS score
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition profile (Gopher-style quality signal)
+# --------------------------------------------------------------------------
+
+
+def repetition_profile(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, distinct_milli, top_ngram_n,
+    dup_ngram_milli): within-document repetition metrics — the Gopher
+    repetition filters (duplicate n-gram fraction, distinct-token ratio)
+    in exact integer permille.
+
+    n-grams come from LEAD windows over token position (one shuffle on
+    doc_id); everything else is per-doc aggregation. dup_ngram_milli =
+    1000 * (occurrences of n-grams seen more than once) DIV total n-grams."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, n)
+    ]
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *gram_parts).alias("gram"),
+        F.lead("tok", n - 1).over(w).alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    gram_counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.max("cnt").cast("long").alias("top_ngram_n"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("dup_occ"),
+        F.sum("cnt").cast("long").alias("total_grams"),
+    )
+    tok_stats = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.expr("(1000 * n_distinct) DIV n_tokens").alias("distinct_milli"),
+            F.coalesce(F.col("top_ngram_n"), F.lit(0).cast("long")).alias(
+                "top_ngram_n"
+            ),
+            F.coalesce(
+                F.expr("(1000 * dup_occ) DIV total_grams"),
+                F.lit(0).cast("long"),
+            ).alias("dup_ngram_milli"),
+        )
+    )
+
+
+def repetition_profile_oracle(docs_rel: str = "documents", n: int = 3) -> str:
+    lead_cols = " || ' ' || ".join(
+        ["tok"] + [f"LEAD(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, w2[i+1] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w2 FROM {docs_rel}),
+       unnest(generate_series(0, len(w2)-1)) AS g(i)
+),
+grams AS (
+  SELECT doc_id, {lead_cols} AS gram, LEAD(tok, {n - 1}) OVER w AS _last
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+gram_counts AS (
+  SELECT doc_id, gram, COUNT(*)::BIGINT AS cnt FROM grams
+  WHERE _last IS NOT NULL GROUP BY doc_id, gram
+),
+gram_stats AS (
+  SELECT doc_id, MAX(cnt)::BIGINT AS top_ngram_n,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_occ,
+         SUM(cnt)::BIGINT AS total_grams
+  FROM gram_counts GROUP BY doc_id
+),
+tok_stats AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+  FROM {docs_rel}
+)
+SELECT t.doc_id, t.n_tokens, t.n_distinct,
+       (1000 * t.n_distinct) // t.n_tokens AS distinct_milli,
+       COALESCE(g.top_ngram_n, 0)::BIGINT AS top_ngram_n,
+       COALESCE((1000 * g.dup_occ) // g.total_grams, 0)::BIGINT AS dup_ngram_milli
+FROM tok_stats t LEFT JOIN gram_stats g USING (doc_id)
+"""

@@ -2755,6 +2755,178 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# graph analytics over the materialized triple table (operators/graph.py)
+# --------------------------------------------------------------------------
+
+from ..operators.graph import (  # noqa: E402
+    entity_degree,
+    entity_degree_oracle,
+    pagerank_int,
+    pagerank_int_oracle,
+    triples_asof,
+    two_hop_paths,
+    two_hop_paths_oracle,
+)
+
+
+def _production_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused (scan-local, zero-shuffle) triple extractor — the
+    production upstream for every downstream graph consumer."""
+    from ..operators.triples import extract_triples_fused
+
+    return extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
+
+
+@register(
+    "kg_entity_degree",
+    f"WITH {_TRIPLES_CTE},\n{entity_degree_oracle('triples').strip()}",
+)
+def kg_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree/hub profile of the materialized KG: one union-all incidence
+    list -> one groupBy shuffle on entity_id."""
+    return entity_degree(_production_triples(spark, sf_dir))
+
+
+@register(
+    "kg_two_hop",
+    f"WITH {_TRIPLES_CTE},\n{two_hop_paths_oracle('triples').strip()}",
+)
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pred1, pred2) rollup of length-2 paths: distinct-edge self-join on
+    the bridging entity (AQE skew-split on hub entities), bounded output."""
+    return two_hop_paths(_production_triples(spark, sf_dir))
+
+
+_PAGERANK_ITERS = 5
+
+
+@register(
+    "kg_pagerank",
+    f"WITH {_TRIPLES_CTE},\n{pagerank_int_oracle('triples', iters=_PAGERANK_ITERS).strip()}",
+)
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer PageRank (micro-units, floor division) over
+    the distinct triple edge set — the oracle is an unrolled SQL mirror of
+    the same integer recurrence, so parity is exact by construction."""
+    return pagerank_int(
+        _production_triples(spark, sf_dir), iters=_PAGERANK_ITERS
+    )
+
+
+@register(
+    "kg_triples_current",
+    f"""WITH {_TRIPLES_CTE},
+tts AS (
+  SELECT tr.subj_id, tr.pred_id, tr.obj_id,
+         epoch(t.ts)::BIGINT AS ts_epoch, tr.conv_id, tr.turn_idx
+  FROM triples tr
+  JOIN turns t ON t.conv_id = tr.conv_id AND t.turn_idx = tr.turn_idx
+)
+SELECT subj_id, pred_id, obj_id, ts_epoch FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY subj_id, pred_id
+    ORDER BY ts_epoch DESC, conv_id DESC, turn_idx DESC, obj_id DESC) AS rn
+  FROM tts
+) WHERE rn = 1""",
+)
+def kg_triples_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal current-state snapshot: latest assertion per (subj, pred)
+    by turn timestamp, total deterministic tiebreak; one window shuffle."""
+    tr = _production_triples(spark, sf_dir)
+    ts = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    return triples_asof(tr.join(ts, ["conv_id", "turn_idx"]))
+
+
+# --------------------------------------------------------------------------
+# text curation extensions (operators/textstats.py)
+# --------------------------------------------------------------------------
+
+from ..operators.textstats import (  # noqa: E402
+    pii_scrub,
+    pii_scrub_oracle,
+    repetition_profile,
+    repetition_profile_oracle,
+    tfidf_topterms,
+    tfidf_topterms_oracle,
+)
+
+# deterministic synthetic-PII injection so the redaction path is exercised
+# on the shared corpus (the raw synthetic docs contain no PII); identical
+# CASE expression on both engines
+_PII_AUG_CTE = """
+aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com asap'
+         WHEN doc_id % 5 = 2
+           THEN text || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+         ELSE text END AS text
+  FROM documents
+)
+"""
+
+
+def _pii_augment(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com asap"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    f"WITH {_PII_AUG_CTE.strip()}\n{pii_scrub_oracle('aug', 'text').strip()}",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone numbers) — pure Catalyst regexp pass,
+    one scan, no shuffle; regexes kept to the Java-regex/RE2 common subset
+    so the DuckDB oracle is exact."""
+    return pii_scrub(_pii_augment(_read(spark, sf_dir, "documents")))
+
+
+@register(
+    "doc_tfidf_topterms",
+    f"WITH {tfidf_topterms_oracle('documents', k=3).strip()}",
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled TF-IDF top-3 terms per document (floor-div idf steps
+    — no float/log, so cross-engine exact)."""
+    return tfidf_topterms(_read(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "doc_repetition_profile",
+    f"WITH {repetition_profile_oracle('documents', n=3).strip()}",
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics (duplicate 3-gram
+    permille, distinct-token permille) in exact integer arithmetic."""
+    return repetition_profile(_read(spark, sf_dir, "documents"), n=3)
+
+
+# --------------------------------------------------------------------------
 # registry order (drives the driver's CORRECTNESS window): the driver
 # oracle-checks the FIRST 50 entries, so the window is exactly the 50
 # oracle-checked queries — production kg_* paths first, then linking, dedup,
@@ -2856,6 +3028,15 @@ _REGISTRY_ORDER = [
     "events_funnel",
     "events_funnel4",
     "doc_mixture_sample",
+    # graph analytics over the materialized KG
+    "kg_entity_degree",
+    "kg_two_hop",
+    "kg_pagerank",
+    "kg_triples_current",
+    # text curation extensions
+    "doc_pii_scrub",
+    "doc_tfidf_topterms",
+    "doc_repetition_profile",
 ]
 
 # load-bearing invariants: explicit raises, NOT `assert` — asserts are

@@ -1,0 +1,165 @@
+"""Graph-analytics operators over the triple table (operators/graph.py):
+planted-graph semantics for degree / 2-hop / integer PageRank / as-of,
+plus the checkpointed-loop equivalence and a numpy cross-check that the
+integer PageRank tracks float PageRank ordering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mehari_spark.operators.graph import (
+    RANK_UNIT,
+    entity_degree,
+    pagerank_int,
+    triples_asof,
+    two_hop_paths,
+)
+
+# planted triple table: star hub 1 -> {2,3,4}, chain 2 -> 5 -> 1, and a
+# duplicated edge (1->2 appears twice with different preds)
+TRIPLES = [
+    # (conv_id, turn_idx, subj_id, pred_id, obj_id)
+    ("c1", 0, 1, 10, 2),
+    ("c1", 1, 1, 11, 2),
+    ("c1", 2, 1, 10, 3),
+    ("c2", 0, 1, 10, 4),
+    ("c2", 1, 2, 12, 5),
+    ("c3", 0, 5, 10, 1),
+    ("c3", 1, 5, 10, 1),  # exact duplicate triple
+]
+COLS = ["conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"]
+
+
+@pytest.fixture(scope="module")
+def triples_df(spark):
+    return spark.createDataFrame(TRIPLES, COLS)
+
+
+def test_entity_degree_planted(triples_df):
+    rows = {r["entity_id"]: r for r in entity_degree(triples_df).collect()}
+    # entity 1: subj in 4 triples (preds 10,11), obj in 2 (pred 10 twice)
+    assert rows[1]["n_out"] == 4 and rows[1]["n_in"] == 2
+    assert rows[1]["n_preds_out"] == 2 and rows[1]["n_preds_in"] == 1
+    # entity 5: subj twice (both pred 10), obj once
+    assert rows[5]["n_out"] == 2 and rows[5]["n_in"] == 1
+    assert rows[5]["n_preds_out"] == 1
+    # leaf entities 3, 4: in only
+    assert rows[3]["n_out"] == 0 and rows[3]["n_in"] == 1
+    assert rows[4]["n_out"] == 0 and rows[4]["n_in"] == 1
+
+
+def test_two_hop_planted(triples_df):
+    got = {
+        (r["pred1"], r["pred2"]): (r["n_paths"], r["n_bridges"])
+        for r in two_hop_paths(triples_df).collect()
+    }
+    # distinct edges: 1-[10]->2, 1-[11]->2, 1-[10]->3, 1-[10]->4,
+    #                 2-[12]->5, 5-[10]->1
+    # paths via 2: (10,12), (11,12); via 5: (12,10);
+    # via 1: (10,10)x3, (10,11)x1  [5->1 then 1's four out-edges]
+    assert got[(10, 12)] == (1, 1)
+    assert got[(11, 12)] == (1, 1)
+    assert got[(12, 10)] == (1, 1)
+    assert got[(10, 10)] == (3, 1)
+    assert got[(10, 11)] == (1, 1)
+    assert len(got) == 5
+
+
+def _numpy_pagerank_int(edges, iters=5, damping_pct=85):
+    """Pure-python mirror of the integer recurrence (independent oracle)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in set(edges):
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: RANK_UNIT for n in nodes}
+    base = (100 - damping_pct) * 10_000
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for s, d in set(edges):
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {n: base + (incoming[n] * damping_pct) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_mirror(triples_df):
+    edges = [(s, o) for _, _, s, _, o in TRIPLES if s != o]
+    expect = _numpy_pagerank_int(edges, iters=5)
+    got = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(triples_df, iters=5).collect()
+    }
+    assert got == expect
+    # hub 2 (fed by 1's two distinct in-edges... ) sanity: every rank >= base
+    assert all(v >= 150_000 for v in got.values())
+
+
+def test_pagerank_checkpointed_loop_identical(spark, triples_df):
+    plain = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(triples_df, iters=6).collect()
+    }
+    ckpt = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(triples_df, iters=6, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt
+
+
+def test_pagerank_tracks_float_ordering(spark):
+    """On a larger random-ish planted graph, the integer recurrence induces
+    the same top/bottom ordering as conventional float PageRank (same
+    dangling-mass-dropped spec) — micro-unit flooring is not distorting."""
+    rng = np.random.RandomState(7)
+    n = 60
+    edges = set()
+    for _ in range(400):
+        s, d = rng.randint(0, n), rng.randint(0, n)
+        if s != d:
+            edges.add((int(s), int(d)))
+    # make node 0 a super-hub
+    for d in range(1, 30):
+        edges.add((d, 0))
+    rows = [("c", 0, s, 1, d) for s, d in sorted(edges)]
+    df = spark.createDataFrame(rows, COLS)
+    got = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(df, iters=10).collect()
+    }
+    # float reference with identical spec
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    fr = {v: 1.0 for v in nodes}
+    for _ in range(10):
+        inc = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inc[d] += fr[s] / outdeg[s]
+        fr = {v: 0.15 + 0.85 * inc[v] for v in nodes}
+    top_int = sorted(got, key=lambda v: (-got[v], v))[:5]
+    top_flt = sorted(fr, key=lambda v: (-fr[v], v))[:5]
+    assert top_int == top_flt
+    assert top_int[0] == 0  # the planted super-hub wins
+    # relative error of the integer approximation stays tiny
+    for v in nodes:
+        assert abs(got[v] / RANK_UNIT - fr[v]) <= max(1e-3, 1e-3 * fr[v])
+
+
+def test_triples_asof_latest_wins(spark):
+    rows = [
+        # same (subj, pred): later ts wins
+        ("c1", 0, 1, 10, 2, 100),
+        ("c1", 1, 1, 10, 3, 200),
+        # tie on ts: higher conv_id/turn_idx/obj_id wins deterministically
+        ("c2", 0, 4, 11, 5, 300),
+        ("c2", 1, 4, 11, 6, 300),
+    ]
+    df = spark.createDataFrame(rows, COLS + ["ts_epoch"])
+    got = {
+        (r["subj_id"], r["pred_id"]): (r["obj_id"], r["ts_epoch"])
+        for r in triples_asof(df).collect()
+    }
+    assert got[(1, 10)] == (3, 200)
+    assert got[(4, 11)] == (6, 300)
+    assert len(got) == 2

@@ -41,18 +41,29 @@ from pyspark.sql import functions as F
 
 def entity_degree(triples: DataFrame) -> DataFrame:
     """(entity_id, n_out, n_in, n_preds_out, n_preds_in): triple-incidence
-    degree profile. One union-all + one groupBy (single shuffle)."""
+    degree profile.
+
+    The incidence list is built with ``explode(array(...))`` rather than a
+    union-all of two selects: a union re-reads (or, over a computed
+    upstream like the fused extractor, re-COMPUTES) the triple relation
+    twice, while the explode emits both incidence rows in the same single
+    pass. One scan + one groupBy shuffle total."""
     inc = triples.select(
-        F.col("subj_id").alias("entity_id"),
-        F.lit(1).alias("is_out"),
-        "pred_id",
-    ).unionAll(
-        triples.select(
-            F.col("obj_id").alias("entity_id"),
-            F.lit(0).alias("is_out"),
-            "pred_id",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj_id").alias("entity_id"),
+                    F.lit(1).alias("is_out"),
+                    F.col("pred_id"),
+                ),
+                F.struct(
+                    F.col("obj_id").alias("entity_id"),
+                    F.lit(0).alias("is_out"),
+                    F.col("pred_id"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.entity_id", "e.is_out", "e.pred_id")
     return inc.groupBy("entity_id").agg(
         F.sum("is_out").cast("long").alias("n_out"),
         F.sum(1 - F.col("is_out")).cast("long").alias("n_in"),
@@ -92,8 +103,19 @@ def two_hop_paths(triples: DataFrame) -> DataFrame:
 
     The join key is the bridging entity b — hot hubs are split by AQE
     skew-join; the output is the (pred1, pred2) rollup, so result size is
-    bounded by |predicates|^2 regardless of corpus size."""
-    edges = triples.select("subj_id", "pred_id", "obj_id").distinct()
+    bounded by |predicates|^2 regardless of corpus size.
+
+    The distinct edge set feeds BOTH sides of the self-join, so it is
+    materialized once through the bounded stage cache (the 100 TB analog:
+    the KG's edge table is a materialized parquet table, not recomputed
+    per consumer) instead of running the upstream extractor twice."""
+    from ..plans.stagecache import materialize_once
+
+    edges = materialize_once(
+        triples.sparkSession,
+        ("twohop_edges", triples.semanticHash()),
+        lambda: triples.select("subj_id", "pred_id", "obj_id").distinct(),
+    )
     a = edges.alias("a")
     b = edges.alias("b")
     return (
@@ -148,19 +170,33 @@ def pagerank_int(
     the loop. ``checkpoint_every`` truncates lineage via EAGER
     localCheckpoint and releases the previous checkpoint's blocks — deep
     iteration counts stay O(1) in plan size and block storage."""
+    from ..plans.stagecache import materialize_once
+
     base = (100 - damping_pct) * 10_000
+    spark = triples.sparkSession
+    sig = triples.semanticHash()
     edges = (
         triples.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = (
-        edges.select(F.col("src").alias("entity_id"))
-        .unionAll(edges.select(F.col("dst").alias("entity_id")))
-        .distinct()
+    # The (src, dst, outdeg) relation and the node set are consumed EVERY
+    # iteration: materialize each once (bounded stage cache — the GraphX/
+    # Pregel edge-caching discipline), esrc pre-partitioned on the per-
+    # iteration join key so only the small ranks side shuffles per round.
+    esrc = materialize_once(
+        spark,
+        ("pagerank_esrc", sig),
+        lambda: edges.join(outdeg, "src").repartition("src"),
     )
-    esrc = edges.join(outdeg, "src")  # (src, dst, outdeg)
+    nodes = materialize_once(
+        spark,
+        ("pagerank_nodes", sig),
+        lambda: esrc.select(
+            F.explode(F.array("src", "dst")).alias("entity_id")
+        ).distinct(),
+    )
 
     ranks = nodes.select(
         "entity_id", F.lit(RANK_UNIT).cast("long").alias("rank_micro")

@@ -76,6 +76,7 @@ def merge_into_bucketed(
     n_buckets: int,
     run_id: str = "merge",
     fail_mid_swap_bucket: int | None = None,
+    precedence_cols: list[str] | None = None,
 ) -> dict:
     """Upsert ``updates`` into the bucketed table at ``out_dir``.
 
@@ -89,6 +90,16 @@ def merge_into_bucketed(
     ``updates`` carries duplicate match keys (MERGE INTO multiple-match
     error semantics). ``fail_mid_swap_bucket`` injects a crash between the
     two swap renames of that bucket (crash-recovery tests).
+
+    ``precedence_cols`` switches the on-match rule from "update wins" to
+    "HIGHEST PRECEDENCE wins" (descending over the listed columns, which
+    must totally order rows within a match key — e.g. the KG's
+    latest-assertion-wins ``(ts_epoch, conv_id, turn_idx, obj_id)``).
+    In this mode duplicate match keys in the update batch are legal (the
+    same rule reduces the batch first), and the merge is IDEMPOTENT:
+    re-applying any already-applied batch leaves every bucket's row set
+    unchanged, which is what makes it safe to replay a retried streaming
+    epoch (kg_stream.py) without an applied-batch lookup.
     """
     if bucket_col not in match_cols:
         raise ValueError(
@@ -100,18 +111,33 @@ def merge_into_bucketed(
     load_committed(out_dir, n_buckets=n_buckets, key_col=bucket_col)
     repair_interrupted_merge(out_dir)
 
-    dup = (
-        updates.groupBy(*match_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"updates contain duplicate match keys (e.g. {dup[0].asDict()}) — "
-            "MERGE INTO multiple-match is ambiguous; dedupe the update batch"
+    prec_window = None
+    if precedence_cols:
+        from pyspark.sql import Window
+
+        prec_window = Window.partitionBy(*match_cols).orderBy(
+            *[F.desc(c) for c in precedence_cols]
         )
+        # same winner rule WITHIN the batch first: the reduced batch is
+        # what determines touched buckets and the target comparison set
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(prec_window))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        dup = (
+            updates.groupBy(*match_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"updates contain duplicate match keys (e.g. {dup[0].asDict()}) — "
+                "MERGE INTO multiple-match is ambiguous; dedupe the update batch"
+            )
 
     bcol = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
     upd = updates.withColumn("_bucket", bcol)
@@ -132,13 +158,25 @@ def merge_into_bucketed(
     else:
         target = spark.createDataFrame([], updates.schema)
 
-    # upsert: every update row survives; target rows survive iff unmatched
-    survivors = target.join(
-        updates.select(*match_cols).distinct(), match_cols, "left_anti"
-    )
-    merged = survivors.unionByName(updates.select(*data_cols)).withColumn(
-        "_bucket", bcol
-    )
+    if prec_window is not None:
+        # highest-precedence-wins: union both sides, keep the winner per
+        # match key. A target row that already IS the winner survives
+        # byte-identical, so replaying an applied batch is a no-op.
+        merged = (
+            target.unionByName(updates.select(*data_cols))
+            .withColumn("_rn", F.row_number().over(prec_window))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_bucket", bcol)
+        )
+    else:
+        # upsert: every update row survives; target rows survive iff unmatched
+        survivors = target.join(
+            updates.select(*match_cols).distinct(), match_cols, "left_anti"
+        )
+        merged = survivors.unionByName(updates.select(*data_cols)).withColumn(
+            "_bucket", bcol
+        )
 
     # distinct prefix from write_bucketed's "_staging_*": its stale-staging
     # sweep must never delete a merge's in-flight staging directory

@@ -1,0 +1,168 @@
+"""Streaming KG maintenance: transcript stream -> fused extraction ->
+latest-assertion-wins MERGE. Cross-asserts the maintained table against the
+batch current-state snapshot (triples_asof over the full input), exercises
+restart resume, fresh-checkpoint epoch scoping, and merge idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mehari_spark.dictionary import demo_patterns
+from mehari_spark.operators.graph import triples_asof
+from mehari_spark.operators.triples import extract_triples_fused
+from mehari_spark.plans.merge import merge_into_bucketed
+from mehari_spark.sources.transcripts import transcripts
+from mehari_spark.streaming.kg_stream import (
+    applied_epochs,
+    extract_batch_updates,
+    read_kg_current,
+    stream_kg_maintain,
+)
+from mehari_spark.streaming.replay import write_arrival_chunk
+
+from .conftest import SF_UNIT
+
+TURN_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _turns(spark):
+    return transcripts(spark, SF_UNIT).select(*TURN_COLS)
+
+
+def _batch_current(spark, turns_df):
+    tr = extract_triples_fused(turns_df, demo_patterns())
+    ts = turns_df.select(
+        "conv_id", "turn_idx", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    return triples_asof(tr.join(ts, ["conv_id", "turn_idx"]))
+
+
+def _sorted_pdf(df):
+    cols = sorted(df.columns)
+    return (
+        df.toPandas()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def _run(spark, in_dir, table_dir, ck, mfpt=1):
+    q = stream_kg_maintain(
+        spark, in_dir, table_dir, ck, demo_patterns(),
+        n_buckets=8, max_files_per_trigger=mfpt,
+    )
+    q.awaitTermination()
+    return q
+
+
+class TestKgStream:
+    def test_stream_equals_batch_snapshot(self, spark, tmp_path):
+        """Three arrival waves (interleaving conversations so later epochs
+        UPDATE keys earlier epochs inserted) -> maintained table equals the
+        batch asof snapshot over the union."""
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        # wave by turn_idx band, NOT conv_id: every conversation spans all
+        # three waves, so each epoch re-asserts keys from previous epochs
+        for lo, hi in [(0, 2), (2, 4), (4, 1_000_000)]:
+            write_arrival_chunk(
+                turns.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)),
+                in_dir,
+            )
+        _run(spark, in_dir, table, ck)
+        got = _sorted_pdf(read_kg_current(spark, table))
+        want = _sorted_pdf(
+            _batch_current(spark, turns).select(
+                "subj_id", "pred_id", "obj_id", "ts_epoch"
+            )
+        )
+        assert len(got) > 0
+        assert got.equals(want)
+
+    def test_restart_resumes_without_reapplying(self, spark, tmp_path):
+        """Stop after wave 1, add waves 2-3, restart with the SAME
+        checkpoint: final table equals batch; wave-1 epochs applied once."""
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        import os
+
+        scope = os.path.abspath(ck)
+        write_arrival_chunk(turns.where(F.col("turn_idx") < 3), in_dir)
+        _run(spark, in_dir, table, ck)
+        n_first = len(applied_epochs(table, scope))
+        assert n_first >= 1
+        write_arrival_chunk(turns.where(F.col("turn_idx") >= 3), in_dir)
+        _run(spark, in_dir, table, ck)
+        got = _sorted_pdf(read_kg_current(spark, table))
+        want = _sorted_pdf(
+            _batch_current(spark, turns).select(
+                "subj_id", "pred_id", "obj_id", "ts_epoch"
+            )
+        )
+        assert got.equals(want)
+        # audit: every epoch recorded exactly once
+        eps = applied_epochs(table, scope)
+        assert len(eps) > n_first
+
+    def test_fresh_checkpoint_not_skipped(self, spark, tmp_path):
+        """A new stream (fresh checkpoint, epoch ids reset to 0) against the
+        SAME table must still apply its batches — the epoch-done skip is
+        scoped by checkpoint identity."""
+        turns = _turns(spark)
+        in_dir1 = str(tmp_path / "in1")
+        in_dir2 = str(tmp_path / "in2")
+        table = str(tmp_path / "kg")
+        write_arrival_chunk(turns.where(F.col("turn_idx") < 3), in_dir1)
+        _run(spark, in_dir1, table, str(tmp_path / "ck1"))
+        # second stream, new checkpoint: its epoch 0 carries the later turns
+        write_arrival_chunk(turns.where(F.col("turn_idx") >= 3), in_dir2)
+        _run(spark, in_dir2, table, str(tmp_path / "ck2"))
+        got = _sorted_pdf(read_kg_current(spark, table))
+        want = _sorted_pdf(
+            _batch_current(spark, turns).select(
+                "subj_id", "pred_id", "obj_id", "ts_epoch"
+            )
+        )
+        assert got.equals(want)
+
+    def test_precedence_merge_idempotent(self, spark, tmp_path):
+        """Re-applying an already-applied update batch (the foreachBatch
+        retry scenario: crash between merge and offset commit) leaves the
+        table's row set unchanged."""
+        turns = _turns(spark)
+        table = str(tmp_path / "kg")
+        updates = extract_batch_updates(turns, demo_patterns())
+        kw = dict(
+            match_cols=["subj_id", "pred_id"],
+            bucket_col="subj_id",
+            n_buckets=8,
+            precedence_cols=["ts_epoch", "conv_id", "turn_idx", "obj_id"],
+        )
+        merge_into_bucketed(spark, table, updates, run_id="e0", **kw)
+        first = _sorted_pdf(read_kg_current(spark, table))
+        merge_into_bucketed(spark, table, updates, run_id="e0-retry", **kw)
+        second = _sorted_pdf(read_kg_current(spark, table))
+        assert first.equals(second)
+
+    def test_precedence_update_loses_to_newer_target(self, spark, tmp_path):
+        """Latest-wins is symmetric: an UPDATE row older than the stored
+        assertion must NOT overwrite it (plain upsert would)."""
+        table = str(tmp_path / "kg")
+        ddl = "subj_id long, pred_id long, obj_id long, ts_epoch long, conv_id string, turn_idx int"
+        kw = dict(
+            match_cols=["subj_id", "pred_id"],
+            bucket_col="subj_id",
+            n_buckets=4,
+            precedence_cols=["ts_epoch", "conv_id", "turn_idx", "obj_id"],
+        )
+        newer = spark.createDataFrame([(1, 7, 100, 2000, "c2", 0)], ddl)
+        older = spark.createDataFrame([(1, 7, 99, 1000, "c1", 0)], ddl)
+        merge_into_bucketed(spark, table, newer, run_id="e0", **kw)
+        merge_into_bucketed(spark, table, older, run_id="e1", **kw)
+        rows = read_kg_current(spark, table).collect()
+        assert len(rows) == 1 and rows[0].obj_id == 100

@@ -46,6 +46,11 @@ HEADLINE = [
     # multi-token (Aho-Corasick) dictionary path
     "emb_near_dup_lsh",
     "kg_triples_multitok",
+    # round 6: the graph-analytics consumer tier over the materialized KG
+    # and the heaviest text-curation extension (two-shuffle TF-IDF + top-k)
+    "kg_entity_degree",
+    "kg_pagerank",
+    "doc_tfidf_topterms",
 ]
 
 

@@ -224,6 +224,48 @@ def main() -> None:
         "verdicts": vcounts,
     }
 
+    # --- streaming KG maintenance: extract -> latest-wins MERGE ---
+    # replicated transcript corpus (replica-tagged conv_ids so epochs carry
+    # distinct conversations); throughput covers fused extraction + the
+    # partition-pruned precedence merge + commit-log append per epoch.
+    from mehari_spark.dictionary import demo_patterns
+    from mehari_spark.sources.transcripts import transcripts as load_transcripts
+    from mehari_spark.streaming.kg_stream import (
+        applied_epochs,
+        read_kg_current,
+        stream_kg_maintain,
+    )
+
+    turns = load_transcripts(spark, "/root/testdata/sf0.1")
+    tbig = (
+        turns.crossJoin(reps)
+        .select(
+            F.concat("conv_id", F.lit("_r"), F.col("_r").cast("string")).alias(
+                "conv_id"
+            ),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+    )
+    kg_in = os.path.join(tmp, "kg_in")
+    tbig.repartition(64).write.mode("overwrite").parquet(kg_in)
+    n_turns = spark.read.parquet(kg_in).count()
+    kg_table = os.path.join(tmp, "kg_table")
+    kg_ck = os.path.join(tmp, "kg_ck")
+    t0 = time.time()
+    q = stream_kg_maintain(
+        spark, kg_in, kg_table, kg_ck, demo_patterns(),
+        n_buckets=8, max_files_per_trigger=16,
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    out["kg_maintain"] = {
+        "rows": n_turns,
+        "sec": round(dt, 2),
+        "rows_per_sec": round(n_turns / dt, 1),
+        "epochs": len(applied_epochs(kg_table, os.path.abspath(kg_ck))),
+        "current_rows": read_kg_current(spark, kg_table).count(),
+    }
+
     # --- sessionization (unchanged headline) ---
     ev_dir = os.path.join(tmp, "events_in")
     (

@@ -277,6 +277,298 @@ def pagerank_int_oracle(
 
 
 # --------------------------------------------------------------------------
+# global connected components over the entity graph
+# --------------------------------------------------------------------------
+
+
+def entity_components(triples: DataFrame) -> DataFrame:
+    """(entity_id, component_id): connected components of the UNDIRECTED
+    entity graph induced by the triple table — component_id is the minimum
+    entity id in the component (the same label contract as coref's CC, so
+    the DuckDB recursive-CTE oracle is exact).
+
+    The coref operator clusters WITHIN a conversation; this is the global
+    KG consumer view (which entities are transitively connected at all —
+    the reference's SV cluster-merge discipline, strucvars/mod.rs:3189-3290,
+    applied to the whole graph). The distinct (subj, obj) projection is
+    materialized ONCE and feeds both the edge set and the node set (self-
+    loop-only entities still label themselves); clustering is the shared
+    pointer-jumping CC (O(log n) rounds, union-find fast path below the
+    measured crossover)."""
+    from ..plans.stagecache import materialize_once
+    from .coref import connected_components_global
+
+    spark = triples.sparkSession
+    base = materialize_once(
+        spark,
+        ("comp_base", triples.semanticHash()),
+        lambda: triples.select("subj_id", "obj_id").distinct(),
+    )
+    edges = base.where(F.col("subj_id") != F.col("obj_id"))
+    nodes = base.select(
+        F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
+    ).distinct()
+    comps = connected_components_global(
+        edges, src="subj_id", dst="obj_id", check_every=2
+    )
+    return nodes.join(
+        comps.withColumnRenamed("node", "entity_id"), "entity_id", "left"
+    ).select(
+        "entity_id",
+        F.coalesce(F.col("component"), F.col("entity_id")).alias("component_id"),
+    )
+
+
+def entity_components_oracle(triples_rel: str = "triples") -> str:
+    """Recursive-CTE reachability mirror (requires WITH RECURSIVE at the
+    statement head)."""
+    return f"""
+cbase AS (SELECT DISTINCT subj_id, obj_id FROM {triples_rel}),
+cedges AS (SELECT subj_id AS u, obj_id AS v FROM cbase WHERE subj_id <> obj_id),
+cbidir AS (SELECT u, v FROM cedges UNION SELECT v, u FROM cedges),
+cnodes AS (SELECT subj_id AS node FROM cbase UNION SELECT obj_id FROM cbase),
+creach AS (
+  SELECT node, node AS root FROM cnodes
+  UNION
+  SELECT b.v AS node, r.root FROM creach r JOIN cbidir b ON b.u = r.node
+)
+SELECT node AS entity_id, MIN(root)::BIGINT AS component_id
+FROM creach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# triangle / clustering-coefficient profile
+# --------------------------------------------------------------------------
+
+
+def triangle_stats(triples: DataFrame) -> DataFrame:
+    """One row (n_edges, n_wedges, n_triangles, clustering_permille) over
+    the undirected simple graph induced by the triple table.
+
+    Triangle counting uses DEGREE ORIENTATION (each undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher one), the
+    standard trick that bounds every node's out-degree at O(sqrt(m)) — the
+    wedge self-join on a 100 TB hub-skewed KG explodes as O(deg^2) under
+    naive id-orientation but stays balanced under degree orientation; each
+    triangle is counted exactly once from its minimum-(degree, id) corner.
+    The DuckDB oracle counts with plain id-canonical u<v<w joins — the
+    COUNT is orientation-invariant, so parity is exact while the plans
+    differ (the oracle would not survive the skew; the Spark plan does).
+
+    clustering_permille = (3 * triangles * 1000) DIV wedges — the global
+    clustering coefficient in exact integer permille (no float hazard);
+    n_wedges = sum over nodes of deg*(deg-1)/2 (always even, exact)."""
+    from ..plans.stagecache import materialize_once
+
+    spark = triples.sparkSession
+    sig = triples.semanticHash()
+    und = materialize_once(
+        spark,
+        ("tri_und", sig),
+        lambda: triples.select(
+            F.least("subj_id", "obj_id").alias("u"),
+            F.greatest("subj_id", "obj_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct(),
+    )
+    deg = und.select(
+        F.explode(F.array("u", "v")).alias("entity_id")
+    ).groupBy("entity_id").agg(F.count("*").cast("long").alias("deg"))
+    # orient each edge from the lower-(deg, id) endpoint to the higher one;
+    # carry the destination's (deg, id) so wedge endpoints order without a
+    # third join
+    oriented = materialize_once(
+        spark,
+        ("tri_oriented", sig),
+        lambda: und.join(
+            deg.select(F.col("entity_id").alias("u"), F.col("deg").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("entity_id").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("dv").alias("dst_deg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("du").alias("dst_deg"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.dst_deg"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (
+                (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
+                | (
+                    (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+                    & (F.col("o1.dst") < F.col("o2.dst"))
+                )
+            ),
+        )
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.dst"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    cnt = und.agg(F.count("*").cast("long").alias("n_edges"))
+    # three 1-row scalars: the crossJoins broadcast single rows (the
+    # documented scalar-combine pattern), never data relations
+    return (
+        cnt.crossJoin(wed)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3 * n_triangles * 1000) DIV n_wedges"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_permille"),
+        )
+    )
+
+
+def triangle_stats_oracle(triples_rel: str = "triples") -> str:
+    return f"""
+tund AS (
+  SELECT DISTINCT LEAST(subj_id, obj_id) AS u, GREATEST(subj_id, obj_id) AS v
+  FROM {triples_rel} WHERE subj_id <> obj_id
+),
+tdeg AS (
+  SELECT entity_id, COUNT(*)::BIGINT AS deg FROM (
+    SELECT u AS entity_id FROM tund UNION ALL SELECT v FROM tund
+  ) GROUP BY entity_id
+),
+ttri AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM tund e1 JOIN tund e2 ON e2.u = e1.v
+  JOIN tund e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+twed AS (SELECT SUM(deg * (deg - 1) // 2)::BIGINT AS n_wedges FROM tdeg),
+tcnt AS (SELECT COUNT(*)::BIGINT AS n_edges FROM tund)
+SELECT tcnt.n_edges, twed.n_wedges, ttri.n_triangles,
+  (CASE WHEN twed.n_wedges > 0
+        THEN (3 * ttri.n_triangles * 1000) // twed.n_wedges
+        ELSE 0 END)::BIGINT AS clustering_permille
+FROM tcnt, twed, ttri
+"""
+
+
+# --------------------------------------------------------------------------
+# bounded-hop BFS reachability from the hub entity
+# --------------------------------------------------------------------------
+
+
+def hub_reach(triples: DataFrame, max_hops: int = 3) -> DataFrame:
+    """(entity_id, dist): minimum directed hop distance (0..max_hops) from
+    the hub entity — the entity with the highest out-degree over the
+    distinct edge set (min id tie-break, deterministic on both engines).
+
+    Level-synchronous BFS with the hop count unrolled (max_hops is an
+    operator parameter, so the oracle is GENERATED for the same count —
+    the curation.py discipline). The edge relation is materialized once
+    and pre-partitioned on src, so every frontier expansion shuffles only
+    the (small) frontier to the stationary edge partitioning; level sets
+    are distinct-projected per hop and the final min-dist agg collapses
+    re-reached nodes. Result size is bounded by the reachable set, never
+    the path set."""
+    from ..plans.stagecache import materialize_once
+
+    spark = triples.sparkSession
+    edges = materialize_once(
+        spark,
+        ("reach_edges", triples.semanticHash()),
+        lambda: triples.select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src"),
+    )
+    hub = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .orderBy(F.desc("outdeg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("entity_id"))
+    )
+    levels = [hub.select("entity_id", F.lit(0).cast("int").alias("dist"))]
+    frontier = hub
+    for i in range(1, max_hops + 1):
+        # explicit aliases: the frontier's lineage contains `edges` after
+        # the first hop, so bare column references would be ambiguous
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.entity_id") == F.col("e.src"))
+            .select(F.col("e.dst").alias("entity_id"))
+            .distinct()
+        )
+        levels.append(
+            frontier.select("entity_id", F.lit(i).cast("int").alias("dist"))
+        )
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    return allv.groupBy("entity_id").agg(F.min("dist").alias("dist"))
+
+
+def hub_reach_oracle(triples_rel: str = "triples", max_hops: int = 3) -> str:
+    ctes = [
+        f"""redges AS (
+  SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {triples_rel}
+  WHERE subj_id <> obj_id
+)""",
+        "rout AS (SELECT src, COUNT(*) AS outdeg FROM redges GROUP BY src)",
+        "rhub AS (SELECT src AS entity_id FROM rout ORDER BY outdeg DESC, src ASC LIMIT 1)",
+        "rl0 AS (SELECT entity_id, 0 AS dist FROM rhub)",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""rl{i} AS (
+  SELECT DISTINCT e.dst AS entity_id, {i} AS dist
+  FROM rl{i - 1} p JOIN redges e ON e.src = p.entity_id
+)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM rl{i}" for i in range(max_hops + 1)
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT entity_id, MIN(dist)::INTEGER AS dist FROM (
+    {union}
+) GROUP BY entity_id"""
+    )
+
+
+# --------------------------------------------------------------------------
 # temporal "current state" snapshot
 # --------------------------------------------------------------------------
 

@@ -2759,10 +2759,16 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from ..operators.graph import (  # noqa: E402
+    entity_components,
+    entity_components_oracle,
     entity_degree,
     entity_degree_oracle,
+    hub_reach,
+    hub_reach_oracle,
     pagerank_int,
     pagerank_int_oracle,
+    triangle_stats,
+    triangle_stats_oracle,
     triples_asof,
     two_hop_paths,
     two_hop_paths_oracle,
@@ -2837,6 +2843,42 @@ def kg_triples_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", F.unix_timestamp("ts").alias("ts_epoch")
     )
     return triples_asof(tr.join(ts, ["conv_id", "turn_idx"]))
+
+
+@register(
+    "kg_components",
+    f"WITH RECURSIVE {_TRIPLES_CTE},\n{entity_components_oracle('triples').strip()}",
+)
+def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global connected components of the undirected entity graph — the
+    whole-KG counterpart of the per-conversation coref clustering; min-id
+    component labels, recursive-CTE reachability oracle."""
+    return entity_components(_production_triples(spark, sf_dir))
+
+
+@register(
+    "kg_triangles",
+    f"WITH {_TRIPLES_CTE},\n{triangle_stats_oracle('triples').strip()}",
+)
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle / clustering-coefficient profile: degree-oriented triangle
+    counting (wedge fan-out bounded O(sqrt m) per node — the hub-skew-safe
+    plan) vs the oracle's id-canonical count; exact integer permille."""
+    return triangle_stats(_production_triples(spark, sf_dir))
+
+
+_REACH_HOPS = 3
+
+
+@register(
+    "kg_hub_reach",
+    f"WITH {_TRIPLES_CTE},\n{hub_reach_oracle('triples', max_hops=_REACH_HOPS).strip()}",
+)
+def kg_hub_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS from the max-out-degree hub entity: frontier joins
+    against a src-partitioned stationary edge relation, min-dist collapse;
+    the unrolled-level oracle is generated for the same hop count."""
+    return hub_reach(_production_triples(spark, sf_dir), max_hops=_REACH_HOPS)
 
 
 # --------------------------------------------------------------------------
@@ -3033,6 +3075,9 @@ _REGISTRY_ORDER = [
     "kg_two_hop",
     "kg_pagerank",
     "kg_triples_current",
+    "kg_components",
+    "kg_triangles",
+    "kg_hub_reach",
     # text curation extensions
     "doc_pii_scrub",
     "doc_tfidf_topterms",

@@ -10,8 +10,11 @@ import pytest
 
 from mehari_spark.operators.graph import (
     RANK_UNIT,
+    entity_components,
     entity_degree,
+    hub_reach,
     pagerank_int,
+    triangle_stats,
     triples_asof,
     two_hop_paths,
 )
@@ -144,6 +147,59 @@ def test_pagerank_tracks_float_ordering(spark):
     # relative error of the integer approximation stays tiny
     for v in nodes:
         assert abs(got[v] / RANK_UNIT - fr[v]) <= max(1e-3, 1e-3 * fr[v])
+
+
+def test_entity_components_planted(spark):
+    """Three planted components: the main TRIPLES graph (all entities
+    transitively connected -> min label 1), a detached pair, and a
+    self-loop-only singleton."""
+    rows = TRIPLES + [
+        ("c4", 0, 7, 10, 8),  # detached pair -> component 7
+        ("c5", 0, 9, 10, 9),  # self-loop only -> singleton component 9
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    got = {
+        r["entity_id"]: r["component_id"]
+        for r in entity_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_triangle_stats_planted(triples_df):
+    # undirected edges from TRIPLES: 1-2, 1-3, 1-4, 2-5, 1-5  (n=5)
+    # degrees: 1:4, 2:2, 3:1, 4:1, 5:2 -> wedges 6+1+0+0+1 = 8
+    # one triangle (1,2,5); clustering = 3*1*1000 // 8 = 375
+    row = triangle_stats(triples_df).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["n_wedges"] == 8
+    assert row["n_triangles"] == 1
+    assert row["clustering_permille"] == 375
+
+
+def test_triangle_stats_no_wedges(spark):
+    # a single edge has no wedges: permille guard returns 0, no div-by-zero
+    df = spark.createDataFrame([("c", 0, 1, 10, 2)], COLS)
+    row = triangle_stats(df).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (1, 0, 0)
+    assert row["clustering_permille"] == 0
+
+
+def test_hub_reach_planted(triples_df):
+    # distinct directed edges: 1->{2,3,4}, 2->5, 5->1; hub = 1 (outdeg 3)
+    # dist: 1:0, {2,3,4}:1, 5:2 (re-reaching 1 at hop 3 keeps min 0)
+    got = {r["entity_id"]: r["dist"] for r in hub_reach(triples_df).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_hub_reach_hop_bound(spark):
+    # chain 1->2->3->4->5 with hub out-degree forced to 1 each; hub is the
+    # min-id tie-break (all outdegs equal) = 1; max_hops=2 truncates at 3
+    rows = [("c", i, i + 1, 10, i + 2) for i in range(4)]
+    df = spark.createDataFrame(rows, COLS)
+    got = {
+        r["entity_id"]: r["dist"] for r in hub_reach(df, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
 
 
 def test_triples_asof_latest_wins(spark):

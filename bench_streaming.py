@@ -266,6 +266,27 @@ def main() -> None:
         "current_rows": read_kg_current(spark, kg_table).count(),
     }
 
+    # same leg with incremental degree maintenance ON: per-epoch partial
+    # refresh of only the merge-touched buckets (plans/incremental.py) —
+    # the delta vs the plain leg is the analytics-maintenance overhead
+    from mehari_spark.plans.incremental import read_kg_degree
+
+    kg_table2 = os.path.join(tmp, "kg_table_deg")
+    kg_ck2 = os.path.join(tmp, "kg_ck_deg")
+    t0 = time.time()
+    q = stream_kg_maintain(
+        spark, kg_in, kg_table2, kg_ck2, demo_patterns(),
+        n_buckets=8, max_files_per_trigger=16, maintain_degree=True,
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    out["kg_maintain_with_degree"] = {
+        "rows": n_turns,
+        "sec": round(dt, 2),
+        "rows_per_sec": round(n_turns / dt, 1),
+        "degree_entities": read_kg_degree(spark, kg_table2).count(),
+    }
+
     # --- sessionization (unchanged headline) ---
     ev_dir = os.path.join(tmp, "events_in")
     (

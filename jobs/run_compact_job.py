@@ -10,7 +10,7 @@ Cluster usage (same packaging contract as the other jobs):
 
 Sandbox smoke (against a table written by run_dataprep_job):
 
-    python jobs/run_compact_job.py --table /tmp/dataprep_out
+    PYTHONPATH=. python jobs/run_compact_job.py --table /tmp/dataprep_out
 """
 
 from __future__ import annotations

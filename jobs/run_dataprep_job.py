@@ -8,7 +8,7 @@ Cluster usage (same packaging contract as the KG job):
 
 Sandbox smoke:
 
-    python jobs/run_dataprep_job.py --sf-dir /root/testdata/sf0.001 \
+    PYTHONPATH=. python jobs/run_dataprep_job.py --sf-dir /root/testdata/sf0.001 \
         --output /tmp/dataprep_out
 """
 

@@ -9,7 +9,7 @@ Cluster usage (north_rule packaging contract):
 
 Sandbox smoke:
 
-    python jobs/run_pipeline_job.py --sf-dir /root/testdata/sf0.001 --output /tmp/kg_out
+    PYTHONPATH=. python jobs/run_pipeline_job.py --sf-dir /root/testdata/sf0.001 --output /tmp/kg_out
 """
 
 from __future__ import annotations

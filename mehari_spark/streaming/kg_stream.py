@@ -112,12 +112,21 @@ def stream_kg_maintain(
     patterns,
     n_buckets: int = 8,
     max_files_per_trigger: int = 1,
+    maintain_degree: bool = False,
+    available_now: bool = True,
 ) -> StreamingQuery:
     """Start the maintenance stream; returns the StreamingQuery.
 
     ``input_dir`` is a file-source directory of turn parquet chunks
     (production: a queue/table commit log). The KG table at ``table_dir``
-    is created on the first epoch and thereafter upserted in place."""
+    is created on the first epoch and thereafter upserted in place.
+
+    ``maintain_degree=True`` additionally keeps the per-bucket degree
+    partials (plans/incremental.py) consistent with the table: after each
+    epoch's merge, ONLY the touched buckets' partials are recomputed —
+    incremental view maintenance, ordered merge -> refresh -> epoch_done
+    so a crash replays the idempotent pair and the audit row always
+    implies consistent partials."""
     turns = (
         spark.readStream.schema(TURNS_DDL)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -140,6 +149,10 @@ def stream_kg_maintain(
             run_id=f"epoch-{epoch_id}",
             precedence_cols=PRECEDENCE_COLS,
         )
+        if maintain_degree:
+            from ..plans.incremental import refresh_degree_partials
+
+            refresh_degree_partials(spark, table_dir, res["touched_buckets"])
         append_checkpoint(
             table_dir,
             {
@@ -151,12 +164,15 @@ def stream_kg_maintain(
             },
         )
 
-    return (
-        turns.writeStream.foreachBatch(apply_epoch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = turns.writeStream.foreachBatch(apply_epoch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    # availableNow drains the current backlog and terminates (catch-up /
+    # cron shape); continuous mode (processingTime=0) follows arrivals
+    # until stopped (always-on ingest shape) — same epoch semantics
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_kg_current(spark: SparkSession, table_dir: str) -> DataFrame:

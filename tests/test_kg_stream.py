@@ -47,6 +47,28 @@ def _sorted_pdf(df):
     )
 
 
+def _degree_scan_twin(spark, table_dir):
+    """Full-table-scan degree profile — the exact twin the maintained
+    partial-sum view must equal (the table stores only current rows)."""
+    cur = read_kg_current(spark, table_dir)
+    inc = cur.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj_id").alias("entity_id"), F.lit(1).alias("is_out")
+                ),
+                F.struct(
+                    F.col("obj_id").alias("entity_id"), F.lit(0).alias("is_out")
+                ),
+            )
+        ).alias("e")
+    ).select("e.entity_id", "e.is_out")
+    return inc.groupBy("entity_id").agg(
+        F.sum("is_out").cast("long").alias("n_out"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("n_in"),
+    )
+
+
 def _run(spark, in_dir, table_dir, ck, mfpt=1):
     q = stream_kg_maintain(
         spark, in_dir, table_dir, ck, demo_patterns(),
@@ -148,6 +170,108 @@ class TestKgStream:
         merge_into_bucketed(spark, table, updates, run_id="e0-retry", **kw)
         second = _sorted_pdf(read_kg_current(spark, table))
         assert first.equals(second)
+
+    def test_degree_view_equals_table_scan(self, spark, tmp_path):
+        """Maintained degree partials (incremental refresh per epoch) sum
+        to exactly the degree profile a full table scan computes."""
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        for lo, hi in [(0, 3), (3, 1_000_000)]:
+            write_arrival_chunk(
+                turns.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)),
+                in_dir,
+            )
+        q = stream_kg_maintain(
+            spark, in_dir, table, ck, demo_patterns(),
+            n_buckets=8, max_files_per_trigger=1, maintain_degree=True,
+        )
+        q.awaitTermination()
+        from mehari_spark.plans.incremental import read_kg_degree
+
+        got = _sorted_pdf(read_kg_degree(spark, table))
+        want = _sorted_pdf(_degree_scan_twin(spark, table))
+        assert len(got) > 0
+        assert got.equals(want)
+
+    def test_untouched_partials_not_rewritten(self, spark, tmp_path):
+        """A narrow second wave (one conversation) must refresh ONLY the
+        buckets its merge touched: the other partial dirs' files are
+        byte-identical objects (same inode set, same mtimes)."""
+        import os
+
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        write_arrival_chunk(turns, in_dir)
+        q = stream_kg_maintain(
+            spark, in_dir, table, ck, demo_patterns(),
+            n_buckets=8, max_files_per_trigger=1_000_000,
+            maintain_degree=True,
+        )
+        q.awaitTermination()
+        adir = os.path.join(table, "_analytics", "degree")
+        before = {
+            d: os.stat(os.path.join(adir, d)).st_mtime_ns
+            for d in os.listdir(adir)
+            if d.startswith("part=")
+        }
+        assert len(before) >= 2
+        one_conv = turns.orderBy("conv_id").limit(1).select("conv_id")
+        wave2 = turns.join(one_conv, "conv_id").withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+        )
+        write_arrival_chunk(wave2, in_dir)
+        q = stream_kg_maintain(
+            spark, in_dir, table, ck, demo_patterns(),
+            n_buckets=8, max_files_per_trigger=1_000_000,
+            maintain_degree=True,
+        )
+        q.awaitTermination()
+        after = {
+            d: os.stat(os.path.join(adir, d)).st_mtime_ns
+            for d in os.listdir(adir)
+            if d.startswith("part=")
+        }
+        unchanged = [d for d in before if after.get(d) == before[d]]
+        changed = [d for d in before if after.get(d) != before[d]]
+        # the single-conversation wave touches a strict subset of buckets
+        assert changed, "second wave should refresh at least one partial"
+        assert unchanged, "second wave must NOT rewrite every partial"
+        # and the view still matches the scan twin exactly
+        from mehari_spark.plans.incremental import read_kg_degree
+
+        assert _sorted_pdf(read_kg_degree(spark, table)).equals(
+            _sorted_pdf(_degree_scan_twin(spark, table))
+        )
+
+    def test_degree_catch_up_and_idempotence(self, spark, tmp_path):
+        """Maintenance enabled late: refresh with an empty touched list
+        catches up every data bucket; a second refresh is a no-op in
+        content (idempotent — partials are derived data)."""
+        from mehari_spark.plans.incremental import (
+            read_kg_degree,
+            refresh_degree_partials,
+        )
+
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        write_arrival_chunk(turns, in_dir)
+        _run(spark, in_dir, table, ck, mfpt=1_000_000)  # maintenance OFF
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            read_kg_degree(spark, table)
+        done = refresh_degree_partials(spark, table, [])
+        assert done  # caught up every data bucket
+        first = _sorted_pdf(read_kg_degree(spark, table))
+        assert first.equals(_sorted_pdf(_degree_scan_twin(spark, table)))
+        refresh_degree_partials(spark, table, done)
+        assert _sorted_pdf(read_kg_degree(spark, table)).equals(first)
 
     def test_precedence_update_loses_to_newer_target(self, spark, tmp_path):
         """Latest-wins is symmetric: an UPDATE row older than the stored

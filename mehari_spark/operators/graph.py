@@ -277,6 +277,134 @@ def pagerank_int_oracle(
 
 
 # --------------------------------------------------------------------------
+# personalized PageRank (random walk with restart) from the hub entity
+# --------------------------------------------------------------------------
+
+
+def personalized_pagerank_int(
+    triples: DataFrame, iters: int = 5, damping_pct: int = 85
+) -> DataFrame:
+    """(entity_id, rank_micro): random-walk-with-restart relevance scores
+    seeded at the hub entity (max out-degree, min id tie-break — the same
+    deterministic seed rule as :func:`hub_reach`), in 64-bit integer
+    micro-units.
+
+    Spec (identical on both engines — exact parity by construction):
+    - rank_0(n) = 1_000_000 if n == seed else 0
+    - rank_{i+1}(n) = [n == seed] * (100-d)*10_000
+        + (d * SUM_{(m,n) in E} (rank_i(m) DIV outdeg(m))) DIV 100
+    i.e. the restart mass teleports entirely to the seed instead of
+    spreading uniformly — the standard KG "relevance to this entity"
+    ranking. Plan shape is the PageRank loop (stationary src-keyed edge
+    relation, small ranks side shuffles per round); the seed flag is a
+    broadcast 1-row join materialized into the node set once, never a
+    driver-side scalar."""
+    from ..plans.stagecache import materialize_once
+
+    base = (100 - damping_pct) * 10_000
+    spark = triples.sparkSession
+    sig = triples.semanticHash()
+    edges = (
+        triples.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    esrc = materialize_once(
+        spark,
+        ("ppr_esrc", sig),
+        lambda: edges.join(outdeg, "src").repartition("src"),
+    )
+    hub = (
+        esrc.groupBy("src")
+        .agg(F.first("outdeg").alias("outdeg"))
+        .orderBy(F.desc("outdeg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("entity_id"), F.lit(1).alias("is_seed"))
+    )
+    nodes = materialize_once(
+        spark,
+        ("ppr_nodes", sig),
+        lambda: esrc.select(F.explode(F.array("src", "dst")).alias("entity_id"))
+        .distinct()
+        .join(F.broadcast(hub), "entity_id", "left")
+        .select(
+            "entity_id", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+        ),
+    )
+
+    ranks = nodes.select(
+        "entity_id",
+        (F.col("is_seed").cast("long") * F.lit(RANK_UNIT)).alias("rank_micro"),
+    )
+    for _ in range(iters):
+        incoming = (
+            ranks.alias("r")
+            .join(esrc.alias("e"), F.col("r.entity_id") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                F.expr("r.rank_micro DIV e.outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(
+                incoming.alias("i"),
+                F.col("n.entity_id") == F.col("i.dst"),
+                "left",
+            )
+            .select(
+                F.col("n.entity_id").alias("entity_id"),
+                (
+                    F.col("n.is_seed").cast("long") * F.lit(base)
+                    + F.expr(
+                        f"(coalesce(i.incoming, 0L) * {damping_pct}) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+    return ranks
+
+
+def personalized_pagerank_int_oracle(
+    triples_rel: str = "triples", iters: int = 5, damping_pct: int = 85
+) -> str:
+    """Unrolled generated SQL mirror of :func:`personalized_pagerank_int`
+    (same discipline as the PageRank and BFS oracles)."""
+    base = (100 - damping_pct) * 10_000
+    ctes = [
+        f"ppedges AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {triples_rel} WHERE subj_id <> obj_id)",
+        "ppoutdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM ppedges GROUP BY src)",
+        "pphub AS (SELECT src AS entity_id FROM ppoutdeg ORDER BY outdeg DESC, src ASC LIMIT 1)",
+        """ppnodes AS (
+  SELECT entity_id,
+         CASE WHEN entity_id = (SELECT entity_id FROM pphub) THEN 1 ELSE 0 END AS is_seed
+  FROM (SELECT src AS entity_id FROM ppedges UNION SELECT dst FROM ppedges)
+)""",
+        f"ppr0 AS (SELECT entity_id, CAST(is_seed * {RANK_UNIT} AS BIGINT) AS rank_micro FROM ppnodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ppr{i} AS (
+  SELECT n.entity_id,
+         CAST(n.is_seed * {base} + (COALESCE(s.incoming, 0) * {damping_pct}) // 100 AS BIGINT) AS rank_micro
+  FROM ppnodes n LEFT JOIN (
+    SELECT e.dst, SUM(r.rank_micro // d.outdeg) AS incoming
+    FROM ppr{i - 1} r
+    JOIN ppoutdeg d ON d.src = r.entity_id
+    JOIN ppedges e ON e.src = r.entity_id
+    GROUP BY e.dst
+  ) s ON s.dst = n.entity_id
+)"""
+        )
+    return ",\n".join(ctes) + f"\nSELECT entity_id, rank_micro FROM ppr{iters}"
+
+
+# --------------------------------------------------------------------------
 # global connected components over the entity graph
 # --------------------------------------------------------------------------
 

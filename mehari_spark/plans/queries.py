@@ -2767,6 +2767,8 @@ from ..operators.graph import (  # noqa: E402
     hub_reach_oracle,
     pagerank_int,
     pagerank_int_oracle,
+    personalized_pagerank_int,
+    personalized_pagerank_int_oracle,
     triangle_stats,
     triangle_stats_oracle,
     triples_asof,
@@ -2865,6 +2867,19 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting (wedge fan-out bounded O(sqrt m) per node — the hub-skew-safe
     plan) vs the oracle's id-canonical count; exact integer permille."""
     return triangle_stats(_production_triples(spark, sf_dir))
+
+
+@register(
+    "kg_hub_ppr",
+    f"WITH {_TRIPLES_CTE},\n{personalized_pagerank_int_oracle('triples', iters=_PAGERANK_ITERS).strip()}",
+)
+def kg_hub_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) seeded at the hub
+    entity — KG relevance-to-an-entity ranking; integer micro-units, the
+    unrolled oracle generated for the same iteration count."""
+    return personalized_pagerank_int(
+        _production_triples(spark, sf_dir), iters=_PAGERANK_ITERS
+    )
 
 
 _REACH_HOPS = 3
@@ -3078,6 +3093,7 @@ _REGISTRY_ORDER = [
     "kg_components",
     "kg_triangles",
     "kg_hub_reach",
+    "kg_hub_ppr",
     # text curation extensions
     "doc_pii_scrub",
     "doc_tfidf_topterms",

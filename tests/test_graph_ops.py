@@ -149,6 +149,45 @@ def test_pagerank_tracks_float_ordering(spark):
         assert abs(got[v] / RANK_UNIT - fr[v]) <= max(1e-3, 1e-3 * fr[v])
 
 
+def _python_ppr_int(edges, seed, iters=5, damping_pct=85):
+    """Pure-python mirror of the personalized (restart-to-seed) integer
+    recurrence — independent oracle for the planted graph."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in set(edges):
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: (RANK_UNIT if n == seed else 0) for n in nodes}
+    base = (100 - damping_pct) * 10_000
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for s, d in set(edges):
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {
+            n: (base if n == seed else 0) + (incoming[n] * damping_pct) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_python_mirror(triples_df):
+    from mehari_spark.operators.graph import personalized_pagerank_int
+
+    edges = [(s, o) for _, _, s, _, o in TRIPLES if s != o]
+    # seed = hub by (outdeg desc, id asc): 1 has outdeg 3 -> seed 1
+    expect = _python_ppr_int(edges, seed=1, iters=5)
+    got = {
+        r["entity_id"]: r["rank_micro"]
+        for r in personalized_pagerank_int(triples_df, iters=5).collect()
+    }
+    assert got == expect
+    # restart mass concentrates at the seed — it dominates every rank
+    assert got[1] == max(got.values())
+    # 5 outranks the seed's direct successors 2/3/4: node 2's entire mass
+    # funnels to 5 (outdeg 1) while the seed splits three ways — the
+    # walk-structure sensitivity plain distance-based scores would miss
+    assert got[5] > got[2] == got[3] == got[4] > 0
+
+
 def test_entity_components_planted(spark):
     """Three planted components: the main TRIPLES graph (all entities
     transitively connected -> min label 1), a detached pair, and a

@@ -2847,6 +2847,61 @@ def kg_triples_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_asof(tr.join(ts, ["conv_id", "turn_idx"]))
 
 
+_CURRENT_CTE = """
+tts AS (
+  SELECT tr.subj_id, tr.pred_id, tr.obj_id,
+         epoch(t.ts)::BIGINT AS ts_epoch, tr.conv_id, tr.turn_idx
+  FROM triples tr
+  JOIN turns t ON t.conv_id = tr.conv_id AND t.turn_idx = tr.turn_idx
+),
+cur AS (
+  SELECT subj_id, pred_id, obj_id, ts_epoch FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY subj_id, pred_id
+      ORDER BY ts_epoch DESC, conv_id DESC, turn_idx DESC, obj_id DESC) AS rn
+    FROM tts
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "kg_current_degree",
+    f"""WITH {_TRIPLES_CTE},
+{_CURRENT_CTE.strip()},
+cinc AS (
+  SELECT subj_id AS entity_id, 1 AS is_out FROM cur
+  UNION ALL
+  SELECT obj_id AS entity_id, 0 AS is_out FROM cur
+)
+SELECT entity_id,
+       SUM(is_out)::BIGINT AS n_out,
+       SUM(1 - is_out)::BIGINT AS n_in
+FROM cinc GROUP BY entity_id""",
+)
+def kg_current_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the CURRENT-STATE snapshot — the oracle-checked
+    batch twin of the incrementally-maintained view (plans/incremental.py
+    read_kg_degree over a stream-maintained table computes exactly this
+    shape; tests/test_kg_stream.py cross-asserts them)."""
+    cur = QUERIES["kg_triples_current"][0](spark, sf_dir)
+    inc = cur.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj_id").alias("entity_id"), F.lit(1).alias("is_out")
+                ),
+                F.struct(
+                    F.col("obj_id").alias("entity_id"), F.lit(0).alias("is_out")
+                ),
+            )
+        ).alias("e")
+    ).select("e.entity_id", "e.is_out")
+    return inc.groupBy("entity_id").agg(
+        F.sum("is_out").cast("long").alias("n_out"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("n_in"),
+    )
+
+
 @register(
     "kg_components",
     f"WITH RECURSIVE {_TRIPLES_CTE},\n{entity_components_oracle('triples').strip()}",
@@ -3090,6 +3145,7 @@ _REGISTRY_ORDER = [
     "kg_two_hop",
     "kg_pagerank",
     "kg_triples_current",
+    "kg_current_degree",
     "kg_components",
     "kg_triangles",
     "kg_hub_reach",

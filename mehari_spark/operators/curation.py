@@ -109,7 +109,10 @@ def shard_packing(
     )
     if bucket_span is None:
         lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-        span = max(1, (int(hi) - int(lo) + 1) // max(1, target_buckets))
+        if hi is None:  # empty corpus: any span packs the zero rows
+            span = 1
+        else:
+            span = max(1, (int(hi) - int(lo) + 1) // max(1, target_buckets))
     else:
         span = max(1, bucket_span)
     lens = lens.withColumn("bucket", F.expr(f"doc_id DIV {span}"))
@@ -290,9 +293,16 @@ CONTAMINATION_ORACLE = contamination_oracle()
 def _frac_hex(frac: float, digits: int = 8) -> str:
     """Hash threshold for a fractional keep rate: md5-hex-prefix strings
     below this hex literal (string compare — identical collation in
-    Spark and DuckDB) are kept. Resolution 16^-digits (~2.3e-10)."""
+    Spark and DuckDB) are kept. Resolution 16^-digits (~2.3e-10).
+
+    Clamped to ``16^digits - 1`` ('ff...f'): a fractional part whose
+    rounding hits the ceiling would otherwise emit a ``digits+1``-char
+    literal ('100000000'), and string-comparing ``digits``-char prefixes
+    against that keeps only prefixes starting '0' (~1/16 instead of ~all).
+    The clamp keeps everything except the single all-f prefix —
+    within the scheme's stated resolution of the intended rate."""
     ceiling = 16**digits
-    return format(min(ceiling, max(0, round(frac * ceiling))), f"0{digits}x")
+    return format(min(ceiling - 1, max(0, round(frac * ceiling))), f"0{digits}x")
 
 
 def mixture_sample(

@@ -87,6 +87,97 @@ def append_checkpoint(out_dir: str, record: dict) -> None:
         f.write(json.dumps(record, sort_keys=True) + "\n")
 
 
+def compact_checkpoint_log(out_dir: str) -> dict:
+    """Rotate the append-only commit log down to its load-bearing rows.
+
+    An always-on maintenance stream (streaming/kg_stream.py) appends
+    staged/committed/epoch_done rows every epoch, so the JSONL grows with
+    stream AGE, not table size. Compaction rewrites it keeping exactly
+    what the readers need — the reference's analog is bounded per-batch
+    commit bookkeeping (db/mod.rs:208-309):
+
+    - the LAST ``committed`` row per (stage, bucket) — preserves
+      ``load_committed``'s bucket set and its layout validation;
+    - ``staged`` rows only when no later ``committed`` row covers the
+      same (run_id, bucket) — i.e. a possibly in-flight merge; completed
+      swaps' staged audit rows drop;
+    - per kg_stream scope, the contiguous ``epoch_done`` prefix 0..N
+      collapses to ONE ``epoch_watermark`` row (epochs complete in order
+      — foreachBatch is sequential — so the prefix is the whole set);
+      rows past a gap are kept verbatim;
+    - unknown statuses are kept verbatim (forward compatibility).
+
+    Atomic: rewritten to a temp file then ``os.replace``d, so a crash
+    leaves either the old or the new log. Idempotent. Returns
+    ``{"rows_before": ..., "rows_after": ...}``."""
+    path = _ckpt_path(out_dir)
+    if not os.path.exists(path):
+        return {"rows_before": 0, "rows_after": 0}
+    with open(path) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+
+    last_committed: dict[tuple, int] = {}  # (stage, bucket) -> line idx
+    committed_after: dict[tuple, int] = {}  # (run_id, bucket) -> line idx
+    epochs: dict[str, set[int]] = {}  # kg_stream scope -> done epoch ids
+    for i, rec in enumerate(recs):
+        status = rec.get("status")
+        if status == "committed":
+            last_committed[(rec.get("stage"), rec.get("bucket"))] = i
+            committed_after[(rec.get("run_id"), rec.get("bucket"))] = i
+        elif status == "epoch_done" and rec.get("stage") == "kg_stream":
+            epochs.setdefault(rec.get("scope"), set()).add(int(rec["epoch"]))
+        elif status == "epoch_watermark" and rec.get("stage") == "kg_stream":
+            epochs.setdefault(rec.get("scope"), set()).update(
+                range(int(rec["max_epoch"]) + 1)
+            )
+
+    kept: list[dict] = []
+    for i, rec in enumerate(recs):
+        status = rec.get("status")
+        if status == "committed":
+            if last_committed[(rec.get("stage"), rec.get("bucket"))] == i:
+                kept.append(rec)
+        elif status == "staged":
+            if committed_after.get((rec.get("run_id"), rec.get("bucket")), -1) < i:
+                kept.append(rec)  # no later commit covers it: maybe in-flight
+        elif status in ("epoch_done", "epoch_watermark") and rec.get(
+            "stage"
+        ) == "kg_stream":
+            continue  # re-emitted compacted below
+        else:
+            kept.append(rec)
+    for scope in sorted(epochs, key=str):
+        done = epochs[scope]
+        watermark = -1
+        while watermark + 1 in done:
+            watermark += 1
+        if watermark >= 0:
+            kept.append(
+                {
+                    "status": "epoch_watermark",
+                    "stage": "kg_stream",
+                    "scope": scope,
+                    "max_epoch": watermark,
+                }
+            )
+        for e in sorted(e for e in done if e > watermark):
+            kept.append(
+                {
+                    "status": "epoch_done",
+                    "stage": "kg_stream",
+                    "scope": scope,
+                    "epoch": e,
+                }
+            )
+
+    tmp = path + ".compact.tmp"
+    with open(tmp, "w") as f:
+        for rec in kept:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+    os.replace(tmp, path)
+    return {"rows_before": len(recs), "rows_after": len(kept)}
+
+
 def write_bucketed(
     df: DataFrame,
     out_dir: str,

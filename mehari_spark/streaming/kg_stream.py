@@ -41,7 +41,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.triples import extract_triples_fused
-from ..plans.lineage import _ckpt_path, append_checkpoint, read_bucketed
+from ..plans.lineage import (
+    _ckpt_path,
+    append_checkpoint,
+    compact_checkpoint_log,
+    read_bucketed,
+)
 from ..plans.merge import merge_into_bucketed
 
 TURNS_DDL = (
@@ -62,19 +67,27 @@ def applied_epochs(table_dir: str, scope: str) -> set[int]:
     unique WITHIN one checkpoint lineage, so a maintenance stream restarted
     against the same table with a fresh checkpoint (epoch numbering resets
     to 0) must not skip its new epochs just because an old stream once
-    applied the same numbers."""
+    applied the same numbers.
+
+    Called ONCE per query lifetime (stream_kg_maintain caches the returned
+    set in its foreachBatch closure and appends to it in memory) — an
+    always-on stream must not re-parse the ever-growing commit log every
+    micro-batch. Compaction (lineage.compact_checkpoint_log) may have
+    collapsed a contiguous epoch prefix into a single ``epoch_watermark``
+    row; it expands back to the id set here."""
     path = _ckpt_path(table_dir)
     done: set[int] = set()
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
-                if (
-                    rec.get("status") == "epoch_done"
-                    and rec.get("stage") == "kg_stream"
-                    and rec.get("scope") == scope
-                ):
+                if rec.get("stage") != "kg_stream" or rec.get("scope") != scope:
+                    continue
+                if rec.get("status") == "epoch_done":
                     done.add(int(rec["epoch"]))
+                elif rec.get("status") == "epoch_watermark":
+                    # contiguous prefix 0..max_epoch, compacted to one row
+                    done.update(range(int(rec["max_epoch"]) + 1))
     return done
 
 
@@ -114,6 +127,7 @@ def stream_kg_maintain(
     max_files_per_trigger: int = 1,
     maintain_degree: bool = False,
     available_now: bool = True,
+    compact_log_every: int = 64,
 ) -> StreamingQuery:
     """Start the maintenance stream; returns the StreamingQuery.
 
@@ -126,7 +140,16 @@ def stream_kg_maintain(
     epoch's merge, ONLY the touched buckets' partials are recomputed —
     incremental view maintenance, ordered merge -> refresh -> epoch_done
     so a crash replays the idempotent pair and the audit row always
-    implies consistent partials."""
+    implies consistent partials.
+
+    Always-on scale discipline: the applied-epoch audit set is read from
+    the commit log ONCE here (query start) and maintained in memory — a
+    replayed epoch after a crash restarts the query, re-reading the log
+    anyway, so per-epoch cost never re-parses the log. Every
+    ``compact_log_every`` completed epochs the table's commit log is
+    rotated (lineage.compact_checkpoint_log): the contiguous epoch_done
+    prefix collapses to one watermark row and superseded bucket-commit
+    rows drop, so the log stays O(buckets + scopes), not O(stream age)."""
     turns = (
         spark.readStream.schema(TURNS_DDL)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -134,9 +157,12 @@ def stream_kg_maintain(
     )
 
     scope = os.path.abspath(checkpoint_dir)
+    # ONE log read per query lifetime (What's-wrong #1, round 6): the set
+    # lives in the closure; completed epochs are appended in memory.
+    applied = applied_epochs(table_dir, scope)
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in applied_epochs(table_dir, scope):
+        if int(epoch_id) in applied:
             return  # replayed epoch: already fully applied
         updates = extract_batch_updates(batch_df, patterns)
         res = merge_into_bucketed(
@@ -163,13 +189,16 @@ def stream_kg_maintain(
                 "touched_buckets": res["touched_buckets"],
             },
         )
+        applied.add(int(epoch_id))
+        if compact_log_every and len(applied) % compact_log_every == 0:
+            compact_checkpoint_log(table_dir)
 
     writer = turns.writeStream.foreachBatch(apply_epoch).option(
         "checkpointLocation", checkpoint_dir
     )
     # availableNow drains the current backlog and terminates (catch-up /
-    # cron shape); continuous mode (processingTime=0) follows arrivals
-    # until stopped (always-on ingest shape) — same epoch semantics
+    # cron shape); otherwise the default ASAP micro-batch trigger follows
+    # arrivals until stopped (always-on ingest shape) — same epoch semantics
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

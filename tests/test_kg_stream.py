@@ -273,6 +273,69 @@ class TestKgStream:
         refresh_degree_partials(spark, table, done)
         assert _sorted_pdf(read_kg_degree(spark, table)).equals(first)
 
+    def test_commit_log_read_once_per_query(self, spark, tmp_path, monkeypatch):
+        """Always-on discipline (round-6 What's-wrong #1): the applied-epoch
+        audit set is read from the commit log ONCE per query lifetime, not
+        per epoch — a multi-epoch run must invoke applied_epochs exactly
+        once and still produce the batch-identical table."""
+        import mehari_spark.streaming.kg_stream as kgs
+
+        calls = {"n": 0}
+        real = kgs.applied_epochs
+
+        def counting(table_dir, scope):
+            calls["n"] += 1
+            return real(table_dir, scope)
+
+        monkeypatch.setattr(kgs, "applied_epochs", counting)
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        for lo, hi in [(0, 2), (2, 4), (4, 1_000_000)]:
+            write_arrival_chunk(
+                turns.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)),
+                in_dir,
+            )
+        _run(spark, in_dir, table, str(tmp_path / "ck"))
+        assert calls["n"] == 1  # 3+ epochs ran; log parsed once
+        assert len(real(table, __import__("os").path.abspath(str(tmp_path / "ck")))) >= 3
+        got = _sorted_pdf(read_kg_current(spark, table))
+        want = _sorted_pdf(
+            _batch_current(spark, turns).select(
+                "subj_id", "pred_id", "obj_id", "ts_epoch"
+            )
+        )
+        assert got.equals(want)
+
+    def test_stream_resumes_across_log_compaction(self, spark, tmp_path):
+        """Compacting the commit log between restarts (epoch_done prefix ->
+        watermark row) must not change replay semantics: the restarted
+        stream skips nothing it should apply and the table equals batch."""
+        from mehari_spark.plans.lineage import compact_checkpoint_log
+
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        import os
+
+        scope = os.path.abspath(ck)
+        write_arrival_chunk(turns.where(F.col("turn_idx") < 3), in_dir)
+        _run(spark, in_dir, table, ck)
+        before = applied_epochs(table, scope)
+        res = compact_checkpoint_log(table)
+        assert res["rows_after"] <= res["rows_before"]
+        assert applied_epochs(table, scope) == before  # watermark expands back
+        write_arrival_chunk(turns.where(F.col("turn_idx") >= 3), in_dir)
+        _run(spark, in_dir, table, ck)
+        got = _sorted_pdf(read_kg_current(spark, table))
+        want = _sorted_pdf(
+            _batch_current(spark, turns).select(
+                "subj_id", "pred_id", "obj_id", "ts_epoch"
+            )
+        )
+        assert got.equals(want)
+
     def test_precedence_update_loses_to_newer_target(self, spark, tmp_path):
         """Latest-wins is symmetric: an UPDATE row older than the stored
         assertion must NOT overwrite it (plain upsert would)."""

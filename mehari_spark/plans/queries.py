@@ -2903,6 +2903,26 @@ def kg_current_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_current_predicates",
+    f"""WITH {_TRIPLES_CTE},
+{_CURRENT_CTE.strip()}
+SELECT pred_id, COUNT(*)::BIGINT AS n_assertions
+FROM cur GROUP BY pred_id""",
+)
+def kg_current_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate assertion counts of the CURRENT-STATE snapshot — the
+    oracle-checked batch twin of the second incrementally-maintained view
+    (plans/incremental.py PREDICATE_VIEW; the SAME refresh machinery as
+    the degree view maintains it, demonstrating the parameterized
+    partial-agg spec — tests/test_kg_stream.py cross-asserts stream vs
+    scan)."""
+    cur = QUERIES["kg_triples_current"][0](spark, sf_dir)
+    return cur.groupBy("pred_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assertions")
+    )
+
+
+@register(
     "kg_components",
     f"WITH RECURSIVE {_TRIPLES_CTE},\n{entity_components_oracle('triples').strip()}",
 )
@@ -3091,10 +3111,13 @@ _REGISTRY_ORDER = [
     "q5_nation_volume",
     "q7_nation_trade",
     "q9_product_profit",
-    "q12_priority_case",
-    "q16_supplier_cnt",
-    "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
+    # rotated INTO the driver window (ADVICE r6): newer oracle-checked
+    # queries get driver-level sf0.01 evidence; the rotated-out TPC-H
+    # shapes (q12/q16/q19 below) stay judge-verified past the window
+    "kg_current_degree",
+    "kg_current_predicates",
+    "kg_pagerank",
     # events
     "events_sessions",
     "events_topk_per_user",
@@ -3109,6 +3132,9 @@ _REGISTRY_ORDER = [
     "lineitem_pivot",
     "lineitem_rank_in_order",
     # ---- driver window boundary (first 50 above are ALL oracle-checked) ----
+    "q12_priority_case",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q20_heavy_red_suppliers",
@@ -3143,9 +3169,7 @@ _REGISTRY_ORDER = [
     # graph analytics over the materialized KG
     "kg_entity_degree",
     "kg_two_hop",
-    "kg_pagerank",
     "kg_triples_current",
-    "kg_current_degree",
     "kg_components",
     "kg_triangles",
     "kg_hub_reach",

@@ -128,6 +128,7 @@ def stream_kg_maintain(
     maintain_degree: bool = False,
     available_now: bool = True,
     compact_log_every: int = 64,
+    maintain_views=None,
 ) -> StreamingQuery:
     """Start the maintenance stream; returns the StreamingQuery.
 
@@ -135,12 +136,13 @@ def stream_kg_maintain(
     (production: a queue/table commit log). The KG table at ``table_dir``
     is created on the first epoch and thereafter upserted in place.
 
-    ``maintain_degree=True`` additionally keeps the per-bucket degree
-    partials (plans/incremental.py) consistent with the table: after each
-    epoch's merge, ONLY the touched buckets' partials are recomputed —
-    incremental view maintenance, ordered merge -> refresh -> epoch_done
-    so a crash replays the idempotent pair and the audit row always
-    implies consistent partials.
+    ``maintain_views`` (a list of plans.incremental.PartialAggSpec;
+    ``maintain_degree=True`` is shorthand for adding DEGREE_VIEW)
+    additionally keeps each view's per-bucket partials consistent with
+    the table: after each epoch's merge, ONLY the touched buckets'
+    partials are recomputed — incremental view maintenance, ordered
+    merge -> refresh -> epoch_done so a crash replays the idempotent
+    pair and the audit row always implies consistent partials.
 
     Always-on scale discipline: the applied-epoch audit set is read from
     the commit log ONCE here (query start) and maintained in memory — a
@@ -161,6 +163,13 @@ def stream_kg_maintain(
     # lives in the closure; completed epochs are appended in memory.
     applied = applied_epochs(table_dir, scope)
 
+    views = list(maintain_views or [])
+    if maintain_degree:
+        from ..plans.incremental import DEGREE_VIEW
+
+        if all(v.name != DEGREE_VIEW.name for v in views):
+            views.append(DEGREE_VIEW)
+
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) in applied:
             return  # replayed epoch: already fully applied
@@ -175,10 +184,11 @@ def stream_kg_maintain(
             run_id=f"epoch-{epoch_id}",
             precedence_cols=PRECEDENCE_COLS,
         )
-        if maintain_degree:
-            from ..plans.incremental import refresh_degree_partials
+        if views:
+            from ..plans.incremental import refresh_partials
 
-            refresh_degree_partials(spark, table_dir, res["touched_buckets"])
+            for v in views:
+                refresh_partials(spark, table_dir, res["touched_buckets"], v)
         append_checkpoint(
             table_dir,
             {

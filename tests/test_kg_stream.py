@@ -69,6 +69,15 @@ def _degree_scan_twin(spark, table_dir):
     )
 
 
+def _pred_scan_twin(spark, table_dir):
+    """Full-table-scan per-predicate assertion counts — the exact twin the
+    maintained PREDICATE_VIEW must equal."""
+    cur = read_kg_current(spark, table_dir)
+    return cur.groupBy("pred_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assertions")
+    )
+
+
 def _run(spark, in_dir, table_dir, ck, mfpt=1):
     q = stream_kg_maintain(
         spark, in_dir, table_dir, ck, demo_patterns(),
@@ -194,6 +203,101 @@ class TestKgStream:
         want = _sorted_pdf(_degree_scan_twin(spark, table))
         assert len(got) > 0
         assert got.equals(want)
+
+    def test_second_view_same_machinery(self, spark, tmp_path):
+        """Generalized IVM (round-7 ask #3): PREDICATE_VIEW is maintained by
+        the SAME refresh machinery in the same stream run as DEGREE_VIEW —
+        both views equal their full-scan twins after multi-epoch updates."""
+        from mehari_spark.plans.incremental import (
+            DEGREE_VIEW,
+            PREDICATE_VIEW,
+            read_view,
+        )
+
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        for lo, hi in [(0, 3), (3, 1_000_000)]:
+            write_arrival_chunk(
+                turns.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)),
+                in_dir,
+            )
+        q = stream_kg_maintain(
+            spark, in_dir, table, ck, demo_patterns(),
+            n_buckets=8, max_files_per_trigger=1,
+            maintain_views=[DEGREE_VIEW, PREDICATE_VIEW],
+        )
+        q.awaitTermination()
+        got_p = _sorted_pdf(read_view(spark, table, PREDICATE_VIEW))
+        assert len(got_p) > 0
+        assert got_p.equals(_sorted_pdf(_pred_scan_twin(spark, table)))
+        assert _sorted_pdf(read_view(spark, table, DEGREE_VIEW)).equals(
+            _sorted_pdf(_degree_scan_twin(spark, table))
+        )
+
+    def test_view_catch_up_generalized(self, spark, tmp_path):
+        """Late-enable catch-up through the parameterized machinery: a
+        PREDICATE_VIEW refresh with an empty touched list catches up every
+        data bucket; a re-refresh is content-idempotent."""
+        import pytest as _pytest
+
+        from mehari_spark.plans.incremental import (
+            PREDICATE_VIEW,
+            read_view,
+            refresh_partials,
+        )
+
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        write_arrival_chunk(turns, in_dir)
+        _run(spark, in_dir, table, str(tmp_path / "ck"), mfpt=1_000_000)
+        with _pytest.raises(FileNotFoundError):
+            read_view(spark, table, PREDICATE_VIEW)
+        done = refresh_partials(spark, table, [], PREDICATE_VIEW)
+        assert done
+        first = _sorted_pdf(read_view(spark, table, PREDICATE_VIEW))
+        assert first.equals(_sorted_pdf(_pred_scan_twin(spark, table)))
+        refresh_partials(spark, table, done, PREDICATE_VIEW)
+        assert _sorted_pdf(read_view(spark, table, PREDICATE_VIEW)).equals(first)
+
+    def test_view_empty_bucket_partial(self, spark, tmp_path):
+        """A spec whose row_fn filters a bucket to zero rows still gets an
+        (empty) partial — read_view must not mistake it for 'missing' and
+        the global view equals the filtered scan."""
+        from mehari_spark.plans.incremental import (
+            PartialAggSpec,
+            _keep,
+            read_view,
+            refresh_partials,
+        )
+
+        def _rare_rows(rows):
+            # keep only one predicate: most buckets produce no view rows
+            return rows.where(F.col("pred_id") == 3).select(
+                *_keep(rows, F.col("pred_id"),
+                       F.lit(1).cast("long").alias("n_assertions"))
+            )
+
+        spec = PartialAggSpec("rare_pred", _rare_rows, ("pred_id",),
+                              ("n_assertions",))
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        write_arrival_chunk(turns, in_dir)
+        _run(spark, in_dir, table, str(tmp_path / "ck"), mfpt=1_000_000)
+        done = refresh_partials(spark, table, [], spec)
+        assert len(done) >= 2  # every data bucket got a partial...
+        got = _sorted_pdf(read_view(spark, table, spec))
+        want = _sorted_pdf(
+            read_kg_current(spark, table)
+            .where(F.col("pred_id") == 3)
+            .groupBy("pred_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_assertions"))
+        )
+        assert got.equals(want)
+        assert len(got) <= 1  # ...even though the view has at most one group
 
     def test_untouched_partials_not_rewritten(self, spark, tmp_path):
         """A narrow second wave (one conversation) must refresh ONLY the

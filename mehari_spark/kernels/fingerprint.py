@@ -47,3 +47,38 @@ def winnow(hashes: list[int], w: int = 4) -> list[int]:
 
 def fingerprint(text: str, k: int = 8, w: int = 4) -> list[int]:
     return winnow(rolling_hashes(text, k=k), w=w)
+
+
+def winnow_with_pos(hashes: list[int], w: int = 4) -> list[tuple[int, int]]:
+    """Position-aware winnowing: (gram_index, hash) of the selected
+    fingerprint per window (rightmost minimum — the Schleimer et al.
+    'robust winnowing' tie-break), deduplicated on repeated selections.
+
+    Positions are 0-based indexes into ``hashes`` (gram start offsets),
+    so a cross-document posting index can verify and extend the actual
+    matched span. Guarantee: any shared substring of length >= w + k - 1
+    selects at least one identical (hash, in-span) fingerprint in both
+    documents."""
+    n = len(hashes)
+    if n == 0:
+        return []
+    if n <= w:
+        m = min(hashes)
+        # rightmost minimum
+        return [(n - 1 - hashes[::-1].index(m), m)]
+    out: list[tuple[int, int]] = []
+    last = -1
+    for i in range(n - w + 1):
+        win = hashes[i : i + w]
+        m = min(win)
+        j = i + (w - 1 - win[::-1].index(m))  # rightmost min position
+        if j != last:
+            out.append((j, m))
+            last = j
+    return out
+
+
+def fingerprint_postings(text: str, k: int = 8, w: int = 4) -> list[tuple[int, int]]:
+    """(char_pos_1based, hash) postings of the winnowed fingerprints —
+    the inverted-index payload for cross-document span matching."""
+    return [(i + 1, h) for i, h in winnow_with_pos(rolling_hashes(text, k=k), w=w)]

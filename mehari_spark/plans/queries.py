@@ -3059,6 +3059,54 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cross-document span-level exact substring dedup (operators/spandedup.py)
+# --------------------------------------------------------------------------
+
+from ..operators.spandedup import (  # noqa: E402
+    span_dup_mass,
+    span_dup_mass_oracle,
+    span_matches,
+    span_matches_oracle,
+    span_matches_winnowed,
+)
+
+_SPAN_K = 24
+_SPAN_W = 8
+
+
+@register("doc_span_dup_mass", span_dup_mass_oracle(k=16))
+def doc_span_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span mass: how many of the doc's 16-gram
+    positions are shared with at least one OTHER document — the signal a
+    span-dedup stage thresholds on. O(total grams), never pairwise."""
+    return span_dup_mass(_read(spark, sf_dir, "documents"), k=16)
+
+
+@register("doc_span_matches", span_matches_oracle(k=_SPAN_K))
+def doc_span_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every character-maximal shared substring (len >= 24) between
+    distinct documents, exact: gram-posting self-join + gaps-and-islands
+    per (pair, diagonal); the DuckDB oracle is the same algebra."""
+    return span_matches(_read(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+@register(
+    "doc_span_matches_winnowed",
+    span_matches_oracle(k=_SPAN_K, min_len=_SPAN_K + _SPAN_W - 1),
+)
+def doc_span_matches_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB span-match path: winnowed fingerprint inverted index
+    (~2/(w+1) the postings) -> fp equi-join -> per-pair Arrow verify +
+    maximal extension. EXACT for spans >= k + w - 1 = 31 (the winnowing
+    guarantee), so the oracle is the exact n-gram twin with that length
+    threshold — a genuinely different algorithm checked to the same
+    answer."""
+    return span_matches_winnowed(
+        _read(spark, sf_dir, "documents"), k=_SPAN_K, w=_SPAN_W
+    )
+
+
+# --------------------------------------------------------------------------
 # registry order (drives the driver's CORRECTNESS window): the driver
 # oracle-checks the FIRST 50 entries, so the window is exactly the 50
 # oracle-checked queries — production kg_* paths first, then linking, dedup,
@@ -3103,11 +3151,12 @@ _REGISTRY_ORDER = [
     "emb_cosine_topk",
     "emb_cosine_pairs",
     "emb_near_dup_lsh",
+    # cross-document span-level dedup (round 7; winnowed = the scale path)
+    "doc_span_dup_mass",
+    "doc_span_matches_winnowed",
     # classic OLAP shapes
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_top_orders",
-    "q4_order_priority",
     "q5_nation_volume",
     "q7_nation_trade",
     "q9_product_profit",
@@ -3132,9 +3181,12 @@ _REGISTRY_ORDER = [
     "lineitem_pivot",
     "lineitem_rank_in_order",
     # ---- driver window boundary (first 50 above are ALL oracle-checked) ----
+    "q2_min_cost_supplier",
+    "q4_order_priority",
     "q12_priority_case",
     "q16_supplier_cnt",
     "q19_disjunctive_revenue",
+    "doc_span_matches",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q20_heavy_red_suppliers",

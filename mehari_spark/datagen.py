@@ -250,3 +250,43 @@ def turns_df(spark, turns: list[Turn]):
         [(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts) for t in turns],
         TRANSCRIPTS_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer assets (kernels/bpe.py): trained merges + expected per-doc
+# token counts, stored under mehari_spark/resources/ and regenerated +
+# compared in tests (reproducibility gate).
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 80  # leaves the longer corpus words multi-token (non-trivial)
+
+
+def build_bpe_assets(
+    train_texts: list[str | None], count_texts: list[str | None]
+) -> dict:
+    """Train the merges table on ``train_texts`` (the sf0.001 corpus) and
+    precompute expected token counts keyed by md5(text) over
+    ``count_texts`` (the sf0.001 + sf0.01 union) — the checked-in golden
+    artifact backing the doc_bpe_real_tokens oracle. Hash-keyed because
+    the two oracle scales have the same ROW COUNT (500) but different
+    TEXTS; joining the oracle VALUES on md5(text) makes one asset valid
+    at both scales (and exact duplicates collapse to one entry)."""
+    import hashlib
+
+    from .kernels.bpe import merges_to_ranks, token_count, train_bpe
+
+    merges = train_bpe(train_texts, BPE_N_MERGES)
+    ranks = merges_to_ranks(merges)
+    cache: dict = {}
+    by_hash: dict[str, int] = {}
+    for t in count_texts:
+        h = hashlib.md5((t or "").encode()).hexdigest()
+        by_hash[h] = token_count(t, ranks, cache)
+    counts = [
+        {"text_md5": h, "n_tokens": n} for h, n in sorted(by_hash.items())
+    ]
+    return {
+        "n_merges": BPE_N_MERGES,
+        "merges": [list(m) for m in merges],
+        "expected_counts": counts,
+    }

@@ -36,7 +36,8 @@ def curate_documents(
 ) -> DataFrame:
     """documents -> one row per INPUT doc with the full curation verdict.
 
-    Columns: doc_id, lang, pred_lang, n_tokens, n_bpe, filter_reasons,
+    Columns: doc_id, lang, pred_lang, n_tokens, n_bpe, n_bpe_real (trained
+    BPE merges — operators/bpe.py), filter_reasons,
     exact_rep (min doc_id of its md5 group), component_id (near-dup
     cluster), kept (passed quality AND is its cluster's representative).
     The caller filters ``kept`` for the curated corpus; keeping the full
@@ -57,6 +58,15 @@ def curate_documents(
         .cast("long")
         .alias("n_bpe"),
     )
+    # REAL BPE token accounting (operators/bpe.py): trained merges table
+    # broadcast + Arrow-batched encode — the budget unit downstream
+    # packing/mixture stages consume; n_bpe (regexp) kept for comparison
+    from ..operators.bpe import bpe_token_counts
+
+    real_counts = bpe_token_counts(docs).withColumnRenamed(
+        "n_tokens", "n_bpe_real"
+    )
+    tokens = tokens.join(real_counts, "doc_id")
 
     # exact dedup: representative = min doc_id per md5(text)
     exact = exact_dedup_groups(docs).select(
@@ -152,7 +162,8 @@ def run_dataprep(
 
     results = write_bucketed(
         verdict.filter(F.col("kept")).select(
-            "doc_id", "pred_lang", "n_tokens", "n_bpe", "component_id", "split"
+            "doc_id", "pred_lang", "n_tokens", "n_bpe", "n_bpe_real",
+            "component_id", "split"
         ),
         out_dir,
         run_id=run_id,

@@ -772,6 +772,21 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+@register("media_image_near_dup", None)  # perceptual hash: exactness pytest-gated
+def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by 64-bit dHash + banded Hamming blocking
+    (EXACT for hamming <= 7 by pigeonhole over 8 one-byte bands — the
+    SimHash chunk idiom applied to decoded PPM/BMP rasters). Rows-only:
+    the decode is binary, but pytest gates exactness vs brute force and
+    the cross-container (PPM==BMP) hash invariant
+    (tests/test_imagehash.py)."""
+    from ..operators.imagehash import image_near_dup
+    from ..operators.multimodal import synth_real_media
+
+    media = synth_real_media(_read(spark, sf_dir, "documents"))
+    return image_near_dup(media, max_hamming=7, bands=8)
+
+
 from ..operators.curation import (
     CONTAMINATION_ORACLE,
     DEMO_MIXTURE,
@@ -3059,6 +3074,27 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# real BPE tokenization (operators/bpe.py + kernels/bpe.py)
+# --------------------------------------------------------------------------
+
+from ..operators.bpe import (  # noqa: E402
+    bpe_expected_counts_oracle,
+    bpe_token_counts,
+)
+
+
+@register("doc_bpe_real_tokens", bpe_expected_counts_oracle())
+def doc_bpe_real_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting with a REAL trained BPE tokenizer (not the regex
+    approximation doc_bpe_tokens keeps for comparison): broadcast merges
+    table + Arrow-batched encode. Oracle = the checked-in precomputed
+    counts (regenerated + compared in tests) joined to the documents
+    view; valid at both oracle scales since documents.parquet is
+    identical at sf0.001 and sf0.01."""
+    return bpe_token_counts(_read(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # cross-document span-level exact substring dedup (operators/spandedup.py)
 # --------------------------------------------------------------------------
 
@@ -3154,11 +3190,12 @@ _REGISTRY_ORDER = [
     # cross-document span-level dedup (round 7; winnowed = the scale path)
     "doc_span_dup_mass",
     "doc_span_matches_winnowed",
+    # real trained-BPE token accounting (round 7)
+    "doc_bpe_real_tokens",
     # classic OLAP shapes
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_volume",
-    "q7_nation_trade",
     "q9_product_profit",
     "q21_waiting_suppliers",
     # rotated INTO the driver window (ADVICE r6): newer oracle-checked
@@ -3183,6 +3220,7 @@ _REGISTRY_ORDER = [
     # ---- driver window boundary (first 50 above are ALL oracle-checked) ----
     "q2_min_cost_supplier",
     "q4_order_priority",
+    "q7_nation_trade",
     "q12_priority_case",
     "q16_supplier_cnt",
     "q19_disjunctive_revenue",
@@ -3210,6 +3248,7 @@ _REGISTRY_ORDER = [
     "media_frame_sample",
     "media_decode",
     "media_codec_features",
+    "media_image_near_dup",
     "doc_hll_profile",
     "doc_quantile_profile",
     "doc_train_split",

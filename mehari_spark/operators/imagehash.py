@@ -1,0 +1,187 @@
+"""Image perceptual-hash near-duplicate detection (dHash / aHash).
+
+Bridges the multimodal and dedup tiers: decoded PPM/BMP rasters
+(operators/multimodal.py, pure numpy — no image libraries needed) are
+reduced to 64-bit perceptual hashes, and near-duplicate image pairs come
+from banded Hamming blocking — the SAME chunk idiom as the SimHash text
+path (kernels/simhash.py): split the 64-bit hash into 8 one-byte bands;
+by pigeonhole, two hashes within Hamming distance 7 must agree on at
+least one band, so the band equi-join is EXACT (not approximate) for
+max_hamming <= bands - 1. Candidates are verified with bit_count(xor)
+JVM-side.
+
+dHash (gradient hash): area-mean resize to 9x8 grayscale, bit = left
+pixel brighter than its right neighbor — robust to uniform brightness
+shifts. aHash (average hash): 8x8 resize, bit = pixel above image mean.
+Both are deterministic integer/float-free-threshold pipelines, so the
+same image in DIFFERENT containers (PPM vs BMP) hashes identically —
+test-gated.
+
+100 TB shape: hashing is an embarrassingly-parallel Arrow scan; the only
+shuffle is the band equi-join (8 rows per image), and verification never
+touches pixels again. A boilerplate band shared by millions of images is
+the same skew as any blocking key — cap with a band-frequency filter if
+a corpus degenerates (same discipline as spandedup.max_df).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .multimodal import bmp_raster, ppm_raster
+
+_GRAY = np.array([299, 587, 114], dtype=np.int64)  # integer luma weights
+
+
+def _grayscale(rgb: np.ndarray) -> np.ndarray:
+    return (rgb.astype(np.int64) @ _GRAY) // 1000  # (h, w) int64
+
+
+def _area_resize(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic area-mean resize; images smaller than the target are
+    integer-upsampled first (np.repeat) so every block is non-empty."""
+    h, w = gray.shape
+    if h < th:
+        gray = np.repeat(gray, -(-th // h), axis=0)
+        h = gray.shape[0]
+    if w < tw:
+        gray = np.repeat(gray, -(-tw // w), axis=1)
+        w = gray.shape[1]
+    ey = (np.arange(th + 1) * h) // th
+    ex = (np.arange(tw + 1) * w) // tw
+    # 72 blocks per image: the loop is per-image-constant work inside an
+    # Arrow batch (vectorize with add.reduceat if profiling ever demands)
+    out = np.empty((th, tw), dtype=np.float64)
+    for i in range(th):
+        for j in range(tw):
+            out[i, j] = gray[ey[i] : ey[i + 1], ex[j] : ex[j + 1]].mean()
+    return out
+
+
+def _to_signed64(bits: np.ndarray) -> int:
+    """64 bools (bit 0 first) -> two's-complement signed 64-bit int."""
+    v = np.uint64(0)
+    for idx in np.nonzero(bits.ravel())[0]:
+        v |= np.uint64(1) << np.uint64(idx)
+    return int(v.astype(np.int64))
+
+
+def dhash64(rgb: np.ndarray) -> int:
+    """Difference hash: 9x8 grayscale, bit[i*8+j] = px[i,j] > px[i,j+1]."""
+    g = _area_resize(_grayscale(rgb), 8, 9)
+    return _to_signed64(g[:, :-1] > g[:, 1:])
+
+
+def ahash64(rgb: np.ndarray) -> int:
+    """Average hash: 8x8 grayscale, bit = pixel above the image mean."""
+    g = _area_resize(_grayscale(rgb), 8, 8)
+    return _to_signed64(g > g.mean())
+
+
+def decode_raster(buf: bytes):
+    """PPM-then-BMP raster decode (the image half of decode_media)."""
+    rgb = ppm_raster(buf)
+    if rgb is None:
+        rgb = bmp_raster(buf)
+    return rgb
+
+
+def image_phash(media: DataFrame, algo: str = "dhash") -> DataFrame:
+    """(media_id, phash): 64-bit perceptual hash per decodable image row;
+    non-images and corrupt payloads are dropped (soft-fail, like
+    decode_media). Arrow-batched, no shuffle."""
+    hash_fn = {"dhash": dhash64, "ahash": ahash64}[algo]
+
+    def run(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            hs: list[int] = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].tolist(),
+                pdf["kind"].tolist(),
+                pdf["payload"].tolist(),
+            ):
+                if kind != "image":
+                    continue
+                try:
+                    rgb = decode_raster(bytes(payload or b""))
+                except Exception:
+                    rgb = None  # hostile bytes are data, not errors
+                if rgb is None:
+                    continue
+                ids.append(mid)
+                hs.append(hash_fn(rgb))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id long, phash long"
+    )
+
+
+def phash_near_dup(
+    hashes: DataFrame, max_hamming: int = 7, bands: int = 8
+) -> DataFrame:
+    """(media_a, media_b, hamming): image pairs within ``max_hamming`` bits,
+    EXACT when max_hamming <= bands - 1 (pigeonhole over 64/bands-bit
+    bands — the SimHash chunk idiom). One band equi-join + distinct."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded blocking is only exact for max_hamming <= bands-1 "
+            f"({bands - 1}); got {max_hamming}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), i -> named_struct("
+                f"'band_idx', i, 'band_val', (phash >> (i * {width})) & {mask}))"
+            )
+        ).alias("c"),
+    ).select(
+        "media_id",
+        "phash",
+        F.col("c.band_idx").alias("band_idx"),
+        F.col("c.band_val").alias("band_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def image_near_dup(
+    media: DataFrame, max_hamming: int = 7, bands: int = 8, algo: str = "dhash"
+) -> DataFrame:
+    """media -> near-duplicate image pairs: decode + perceptual hash +
+    banded Hamming blocking, end to end."""
+    return phash_near_dup(
+        image_phash(media, algo=algo), max_hamming=max_hamming, bands=bands
+    )

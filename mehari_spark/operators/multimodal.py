@@ -293,9 +293,9 @@ def synth_bmp_bytes(seed: int) -> bytes:
     return hdr + dib + body
 
 
-def _parse_bmp(buf: bytes):
-    """24-bit BI_RGB BMP -> (w, h, mean_r, mean_g, mean_b); None on
-    anything malformed or any other BMP variant (soft-fail)."""
+def bmp_raster(buf: bytes):
+    """24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB raster; None on anything
+    malformed or any other BMP variant (soft-fail)."""
     import struct
 
     if len(buf) < 54 or buf[:2] != b"BM":
@@ -317,8 +317,18 @@ def _parse_bmp(buf: bytes):
     rows = raster.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
     if not top_down:
         rows = rows[::-1]
-    bgr_means = rows.reshape(-1, 3).mean(axis=0)
-    return w, h, int(bgr_means[2]), int(bgr_means[1]), int(bgr_means[0])
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _parse_bmp(buf: bytes):
+    """24-bit BI_RGB BMP -> (w, h, mean_r, mean_g, mean_b); None on
+    anything malformed or any other BMP variant (soft-fail)."""
+    rgb = bmp_raster(buf)
+    if rgb is None:
+        return None
+    h, w = rgb.shape[:2]
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    return w, h, int(means[0]), int(means[1]), int(means[2])
 
 
 def _parse_wav(buf: bytes):
@@ -358,7 +368,17 @@ def _parse_wav(buf: bytes):
     return sr, samples.size, int(samples.size * 1000 // sr), int(round(rms * 1000))
 
 
-def _parse_ppm(buf: bytes):
+def ppm_raster(buf: bytes):
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB raster; None on malformed."""
+    parsed = _parse_ppm_header(buf)
+    if parsed is None:
+        return None
+    w, h, pos = parsed
+    pixels = np.frombuffer(buf, dtype=np.uint8, offset=pos, count=w * h * 3)
+    return pixels.reshape(h, w, 3)
+
+
+def _parse_ppm_header(buf: bytes):
     if not buf.startswith(b"P6"):
         return None
     # header: magic, width, height, maxval (ASCII, '#' comments allowed),
@@ -387,8 +407,14 @@ def _parse_ppm(buf: bytes):
     w, h, _maxval = vals
     if w <= 0 or h <= 0 or n - pos < w * h * 3:
         return None
-    pixels = np.frombuffer(buf, dtype=np.uint8, offset=pos, count=w * h * 3)
-    rgb = pixels.reshape(h, w, 3)
+    return w, h, pos
+
+
+def _parse_ppm(buf: bytes):
+    rgb = ppm_raster(buf)
+    if rgb is None:
+        return None
+    h, w = rgb.shape[:2]
     means = rgb.reshape(-1, 3).mean(axis=0)
     return w, h, int(means[0]), int(means[1]), int(means[2])
 

@@ -582,6 +582,135 @@ def ivf_query_topk(
     )
 
 
+def ivf_probe_assignments(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, centroid, qvec): each query exploded to its nprobe
+    nearest cells, vector pre-normalized — the DISTRIBUTED probe relation
+    (no driver collect). Centroids ride a broadcast variable; the probe
+    argsort runs per Arrow batch with the same float ops as the driver
+    path, so both paths probe identical cells."""
+    bc = queries.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    def run(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            qmat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            qn = qmat / norms
+            sims = qn @ cents.T
+            probes = np.argsort(-sims, axis=1)[:, :nprobe]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_id: list[int] = []
+            out_c: list[int] = []
+            out_v: list[list[float]] = []
+            for i in range(len(ids)):
+                vec = qn[i].tolist()
+                for c in probes[i]:
+                    out_id.append(int(ids[i]))
+                    out_c.append(int(c))
+                    out_v.append(vec)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_id, dtype="int64"),
+                    "centroid": pd.Series(out_c, dtype="int32"),
+                    "qvec": pd.Series(out_v, dtype="object"),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        run, schema="query_id long, centroid int, qvec array<double>"
+    )
+
+
+def ivf_query_topk_distributed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells_df: DataFrame | None = None,
+) -> DataFrame:
+    """``ivf_query_topk`` without the driver-side query collect — the path
+    for query batches too large to broadcast from the driver (round-6
+    review flag: similarity.py's driver path documents a bounded batch).
+
+    Shape: queries explode to a (query_id, centroid, qvec) probe relation
+    on executors (``ivf_probe_assignments``); the cells table is pruned
+    to probed cells with a broadcast semi-join on the PARTITION column
+    (Catalyst turns it into a dynamic partition-pruning filter at the
+    scan); then a centroid-cogrouped Arrow kernel runs one
+    (cell_rows x d) @ (d x queries_probing_this_cell) matmul per cell —
+    the same routed-matmul compute as the driver path, with the probe
+    routing carried by the cogroup instead of a driver-built mask. The
+    only per-query driver state is the final k-row window merge.
+
+    Results are IDENTICAL to ``ivf_query_topk`` (same float ops, same
+    tie order — test-gated); the driver path stays the low-latency choice
+    for small/interactive batches (no probe shuffle, no query-side job).
+    """
+    import os
+
+    cents = np.load(os.path.join(index_path, "centroids.npy"))
+    probes = ivf_probe_assignments(
+        queries, cents, nprobe, id_col=id_col, vec_col=vec_col
+    )
+    base_cells = (
+        cells_df
+        if cells_df is not None
+        else spark.read.parquet(os.path.join(index_path, "cells"))
+    )
+    probed = probes.select("centroid").distinct()
+    pruned = base_cells.join(F.broadcast(probed), "centroid", "left_semi")
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: this cell's corpus rows; right: the queries probing it
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        mat = np.asarray(left[vec_col].tolist(), dtype=np.float64)
+        vnorm = np.linalg.norm(mat, axis=1, keepdims=True)
+        vnorm[vnorm == 0] = 1.0
+        mat = mat / vnorm
+        ids = left[id_col].to_numpy(dtype=np.int64)
+        qids = right["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.asarray(right["qvec"].tolist(), dtype=np.float64)
+        sims = mat @ qmat.T
+        sims = np.where(ids[:, None] != qids[None, :], sims, -np.inf)
+        return _local_topk_rows(sims, ids, qids, k)
+
+    local_topk = (
+        pruned.select(id_col, vec_col, "centroid")
+        .groupby("centroid")
+        .cogroup(probes.groupby("centroid"))
+        .applyInPandas(
+            score, schema="query_id long, neighbor_id long, cos double"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def synth_clustered(
     embeddings: DataFrame,
     n_clusters: int = 16,

@@ -156,3 +156,53 @@ class TestIvfIndex:
         )
         want = sorted(map(tuple, cosine_topk(corpus, q_ids, k=7).collect()))
         assert got == want
+
+
+class TestIvfDistributedProbe:
+    def test_distributed_equals_driver_path(self, spark, tmp_path):
+        """Round-7 ask #6: the no-driver-collect probe path (probe relation
+        on executors + DPP-pruned cogrouped matmul) returns EXACTLY the
+        driver path's (query_id, neighbor_id, rank) rows — for a wide
+        query batch touching most cells AND a single-query batch."""
+        from mehari_spark.operators.similarity import ivf_query_topk_distributed
+
+        corpus = _clustered(spark)
+        idx = str(tmp_path / "idx")
+        build_ivf_index(corpus, idx, n_centroids=16)
+        for q_ids in ([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], [5]):
+            queries = corpus.filter(F.col("vec_id").isin(q_ids))
+            want = sorted(
+                (r.query_id, r.neighbor_id, r.rank)
+                for r in ivf_query_topk(
+                    spark, idx, queries, k=5, nprobe=4
+                ).collect()
+            )
+            got = sorted(
+                (r.query_id, r.neighbor_id, r.rank)
+                for r in ivf_query_topk_distributed(
+                    spark, idx, queries, k=5, nprobe=4
+                ).collect()
+            )
+            assert got == want
+
+    def test_distributed_matches_exact_on_planted(self, spark, tmp_path):
+        """And therefore also matches the exact full-scan top-k on the
+        planted clustered corpus (same guarantee the driver path carries)."""
+        from mehari_spark.operators.similarity import ivf_query_topk_distributed
+
+        corpus = _clustered(spark)
+        idx = str(tmp_path / "idx")
+        build_ivf_index(corpus, idx, n_centroids=16)
+        q_ids = [0, 1, 2, 3]
+        queries = corpus.filter(F.col("vec_id").isin(q_ids))
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_query_topk_distributed(
+                spark, idx, queries, k=5, nprobe=4
+            ).collect()
+        )
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in cosine_topk(corpus, q_ids, k=5).collect()
+        )
+        assert got == want

@@ -2780,6 +2780,8 @@ from ..operators.graph import (  # noqa: E402
     entity_degree_oracle,
     hub_reach,
     hub_reach_oracle,
+    kcore,
+    kcore_oracle,
     pagerank_int,
     pagerank_int_oracle,
     personalized_pagerank_int,
@@ -2973,6 +2975,22 @@ def kg_hub_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REACH_HOPS = 3
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+@register(
+    "kg_kcore",
+    f"WITH {_TRIPLES_CTE},\n{kcore_oracle('triples', k=_KCORE_K, rounds=_KCORE_ROUNDS).strip()}",
+)
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the KG entity graph (k=3, 6 synchronous peel rounds —
+    fixpoint on this corpus, pytest-gated): the dense backbone of the
+    community-structure tier, stationary-edge loop discipline like
+    PageRank, generated unrolled oracle for the same round count."""
+    return kcore(
+        _production_triples(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
 
 
 @register(
@@ -3265,6 +3283,7 @@ _REGISTRY_ORDER = [
     "kg_triangles",
     "kg_hub_reach",
     "kg_hub_ppr",
+    "kg_kcore",
     # text curation extensions
     "doc_pii_scrub",
     "doc_tfidf_topterms",

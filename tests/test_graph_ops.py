@@ -258,3 +258,71 @@ def test_triples_asof_latest_wins(spark):
     assert got[(1, 10)] == (3, 200)
     assert got[(4, 11)] == (6, 300)
     assert len(got) == 2
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (round 7)
+# --------------------------------------------------------------------------
+
+
+def _python_kcore(edges, k):
+    """True fixpoint k-core by iterative peeling (pure-python oracle).
+    Returns {node: degree within the final core}."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if sum(m in alive for m in adj[n]) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: sum(m in alive for m in adj[n]) for n in alive}
+
+
+def test_kcore_planted(spark):
+    """A planted 4-clique survives k=3 peeling; a pendant chain hanging
+    off it is peeled away round by round."""
+    from mehari_spark.operators.graph import kcore
+
+    rows = []
+    clique = [1, 2, 3, 4]
+    t = 0
+    for i in clique:
+        for j in clique:
+            if i < j:
+                rows.append(("c1", t, i, 10, j)); t += 1
+    # chain 4 -> 5 -> 6 -> 7 (each peel round removes one more)
+    for a, b in [(4, 5), (5, 6), (6, 7)]:
+        rows.append(("c2", t, a, 10, b)); t += 1
+    tdf = spark.createDataFrame(rows, COLS)
+    got = {r.entity_id: r.core_deg for r in kcore(tdf, k=3, rounds=6).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_fixpoint_on_testdata(spark):
+    """The registry's (k=3, rounds=6) parameters reach the TRUE fixpoint on
+    the production triples at sf0.001: one more round changes nothing, and
+    the result equals the pure-python peeler."""
+    from mehari_spark.operators.graph import kcore
+    from mehari_spark.plans.queries import QUERIES, _production_triples
+
+    tr = _production_triples(spark, "/root/testdata/sf0.001")
+    r6 = {(r.entity_id, r.core_deg) for r in kcore(tr, k=3, rounds=6).collect()}
+    r7 = {(r.entity_id, r.core_deg) for r in kcore(tr, k=3, rounds=7).collect()}
+    assert r6 == r7
+    edges = [
+        (r.subj_id, r.obj_id)
+        for r in tr.select("subj_id", "obj_id").collect()
+    ]
+    want = set(_python_kcore(edges, 3).items())
+    assert r6 == want
+    assert len(r6) > 0
+
+
+def test_kcore_large_k_empty(spark, triples_df):
+    from mehari_spark.operators.graph import kcore
+
+    assert kcore(triples_df, k=10, rounds=4).count() == 0

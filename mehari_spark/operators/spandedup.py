@@ -46,8 +46,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..kernels.fingerprint import fingerprint_postings
-
 # ---------------------------------------------------------------------------
 # exact k-gram postings (pure Catalyst)
 # ---------------------------------------------------------------------------
@@ -145,20 +143,37 @@ def span_matches(
 def _posting_rows(
     it: Iterable[pd.DataFrame], k: int, w: int
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..kernels.fingerprint import posting_arrays
+
     for pdf in it:
-        ids: list[int] = []
-        poss: list[int] = []
-        fps: list[int] = []
+        ids: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
+        fps: list[np.ndarray] = []
         for doc_id, txt in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
-            for pos, h in fingerprint_postings(txt or "", k=k, w=w):
-                ids.append(doc_id)
-                poss.append(pos)
-                fps.append(h)
+            pos, h = posting_arrays(txt or "", k, w)  # vectorized kernel
+            if pos.size == 0:
+                continue
+            ids.append(np.full(pos.size, doc_id, dtype=np.int64))
+            poss.append(pos)
+            fps.append(h)
+        if not ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int32"),
+                    "fp": pd.Series([], dtype="int64"),
+                }
+            )
+            continue
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "pos": pd.Series(poss, dtype="int32"),
-                "fp": pd.Series(fps, dtype="int64"),
+                "doc_id": pd.Series(np.concatenate(ids), dtype="int64"),
+                "pos": pd.Series(
+                    np.concatenate(poss).astype(np.int32), dtype="int32"
+                ),
+                "fp": pd.Series(np.concatenate(fps), dtype="int64"),
             }
         )
 
@@ -188,32 +203,45 @@ def _extend_span(ta: str, tb: str, pa: int, pb: int, k: int):
     return (i + 1, j + 1, ea - i)
 
 
-def _verify_extend_pdf(pdf: pd.DataFrame, k: int, min_len: int) -> pd.DataFrame:
-    """One (doc_a, doc_b) group: verify each candidate seed against the
-    texts, extend to maximal, dedupe spans, threshold on min_len."""
-    if len(pdf) == 0:
-        return pd.DataFrame(
-            columns=["doc_a", "doc_b", "start_a", "start_b", "span_len"]
+def _verify_extend_rows(
+    it: Iterable[pd.DataFrame], k: int, min_len: int
+) -> Iterator[pd.DataFrame]:
+    """Row-wise verify+extend: each candidate seed is independent (maximal
+    extension needs only the two texts and the seed offsets), so no
+    per-pair grouping shuffle is needed — duplicates from multiple seeds
+    in one span are removed by the downstream distinct() on the tiny span
+    rows. Replaces a groupBy(pair).applyInPandas that cost ~2x wall at
+    10k pairs (pair-shuffle + per-group Python overhead)."""
+    for pdf in it:
+        das: list[int] = []
+        dbs: list[int] = []
+        sas: list[int] = []
+        sbs: list[int] = []
+        lens: list[int] = []
+        for da, db, pa, pb, ta, tb in zip(
+            pdf["doc_a"].tolist(),
+            pdf["doc_b"].tolist(),
+            pdf["pos_a"].tolist(),
+            pdf["pos_b"].tolist(),
+            pdf["text_a"].tolist(),
+            pdf["text_b"].tolist(),
+        ):
+            ext = _extend_span(ta or "", tb or "", int(pa), int(pb), k)
+            if ext is not None and ext[2] >= min_len:
+                das.append(int(da))
+                dbs.append(int(db))
+                sas.append(ext[0])
+                sbs.append(ext[1])
+                lens.append(ext[2])
+        yield pd.DataFrame(
+            {
+                "doc_a": pd.Series(das, dtype="int64"),
+                "doc_b": pd.Series(dbs, dtype="int64"),
+                "start_a": pd.Series(sas, dtype="int64"),
+                "start_b": pd.Series(sbs, dtype="int64"),
+                "span_len": pd.Series(lens, dtype="int64"),
+            }
         )
-    ta = pdf["text_a"].iloc[0] or ""
-    tb = pdf["text_b"].iloc[0] or ""
-    doc_a = int(pdf["doc_a"].iloc[0])
-    doc_b = int(pdf["doc_b"].iloc[0])
-    spans = set()
-    for pa, pb in zip(pdf["pos_a"].tolist(), pdf["pos_b"].tolist()):
-        ext = _extend_span(ta, tb, int(pa), int(pb), k)
-        if ext is not None and ext[2] >= min_len:
-            spans.add(ext)
-    out = sorted(spans)
-    return pd.DataFrame(
-        {
-            "doc_a": pd.Series([doc_a] * len(out), dtype="int64"),
-            "doc_b": pd.Series([doc_b] * len(out), dtype="int64"),
-            "start_a": pd.Series([s[0] for s in out], dtype="int64"),
-            "start_b": pd.Series([s[1] for s in out], dtype="int64"),
-            "span_len": pd.Series([s[2] for s in out], dtype="int64"),
-        }
-    )
 
 
 def span_matches_winnowed(
@@ -224,14 +252,22 @@ def span_matches_winnowed(
     fingerprint index — EXACT above that threshold (winnowing guarantee),
     which is why this entry carries the full exact-twin oracle.
 
-    Plan shape: fp equi-join over ~2/(w+1)-sized postings (the only big
-    shuffle), candidate pairs joined back to the two texts, then one
-    grouped Arrow kernel per (doc_a, doc_b) verifies seeds against the
-    real characters (hash collisions die here) and extends each to its
-    maximal span. Never all-pairs; ``max_df`` bounds boilerplate-key
-    fan-out at corpus scale."""
+    Plan shape: the posting scan (an Arrow kernel over every text) is
+    materialized ONCE and fed to both join sides — unmaterialized lineage
+    would re-run the winnowing per side; the fp equi-join is the only big
+    shuffle; candidate pairs join back to the two texts (broadcast at dim
+    scale); then a narrow Arrow pass verifies each seed against the real
+    characters (hash collisions die here) and extends it to its maximal
+    span — extension is per-seed, so no pair-grouping shuffle, and the
+    final distinct() on the tiny span rows collapses multiple seeds of
+    one span. Never all-pairs; ``max_df`` bounds boilerplate-key fan-out
+    at corpus scale."""
     min_len = k + w - 1
-    p = _df_capped(winnowed_postings(docs, k, w), "fp", max_df)
+    p = _df_capped(
+        winnowed_postings(docs, k, w).localCheckpoint(eager=True),
+        "fp",
+        max_df,
+    )
     a, b = p.alias("a"), p.alias("b")
     cand = a.join(
         b,
@@ -243,6 +279,8 @@ def span_matches_winnowed(
         F.col("a.pos").alias("pos_a"),
         F.col("b.pos").alias("pos_b"),
     )
+    # no broadcast hint: at corpus scale the text side does NOT fit a
+    # broadcast — AQE picks broadcast automatically when it does
     texts = docs.select("doc_id", "text")
     cand = cand.join(
         texts.select(
@@ -255,9 +293,60 @@ def span_matches_winnowed(
         ),
         "doc_b",
     )
-    return cand.groupBy("doc_a", "doc_b").applyInPandas(
-        lambda _key, pdf: _verify_extend_pdf(pdf, k, min_len),
+    return cand.mapInPandas(
+        lambda it: _verify_extend_rows(it, k, min_len),
         schema="doc_a long, doc_b long, start_a long, start_b long, span_len long",
+    ).distinct()
+
+
+def span_trim_plan(
+    docs: DataFrame, k: int = 24, max_df: int | None = None
+) -> DataFrame:
+    """(doc_id, n_chars, n_removed, n_kept): the ACTION of span dedup —
+    for every document, how many characters a keep-first trim removes
+    (spans it shares with any LOWER-id document, the earlier copy wins).
+
+    Overlapping/adjacent spans are merged with the classic interval-union
+    islands: order a doc's spans by start, a new island begins where the
+    start exceeds the running max end (one window shuffle on doc_id);
+    removed chars = sum of island extents. Pure Catalyst on top of
+    ``span_matches``; the oracle is the same algebra."""
+    spans = span_matches(docs, k=k, max_df=max_df).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = spans.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            Window.partitionBy("doc_id").orderBy("s", "e")
+        ),
+    )
+    removed = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("ext"))
+        .groupBy("doc_id")
+        .agg(F.sum("ext").cast("long").alias("n_removed"))
+    )
+    lens = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    return (
+        lens.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .withColumn("n_kept", (F.col("n_chars") - F.col("n_removed")).cast("long"))
     )
 
 
@@ -288,6 +377,52 @@ SELECT g.doc_id,
         // COUNT(*))::BIGINT AS dup_permille
 FROM grams g JOIN gd USING (gram)
 GROUP BY g.doc_id"""
+
+
+def span_trim_plan_oracle(k: int = 24) -> str:
+    """Interval-union trim accounting: spans against lower-id docs, merged
+    with the same running-max-end island algebra (MATERIALIZED spans —
+    referenced by the window AND the island agg)."""
+    return f"""WITH {_grams_cte(k)},
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT *, pos_a - ROW_NUMBER() OVER (
+    PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
+  FROM m
+),
+spans AS MATERIALIZED (
+  SELECT doc_b AS doc_id,
+         MIN(pos_b) AS s,
+         MIN(pos_b) + MAX(pos_a) - MIN(pos_a) + {k} AS e
+  FROM r GROUP BY doc_a, doc_b, pos_a - pos_b, isl
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_island
+  FROM spans
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+  FROM marked
+),
+removed AS (
+  SELECT doc_id, SUM(ext)::BIGINT AS n_removed FROM (
+    SELECT doc_id, island, MAX(e) - MIN(s) AS ext
+    FROM islands GROUP BY doc_id, island
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS n_chars,
+       COALESCE(rm.n_removed, 0)::BIGINT AS n_removed,
+       (length(d.text) - COALESCE(rm.n_removed, 0))::BIGINT AS n_kept
+FROM documents d LEFT JOIN removed rm USING (doc_id)"""
 
 
 def span_matches_oracle(k: int = 24, min_len: int | None = None) -> str:

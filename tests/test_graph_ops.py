@@ -326,3 +326,19 @@ def test_kcore_large_k_empty(spark, triples_df):
     from mehari_spark.operators.graph import kcore
 
     assert kcore(triples_df, k=10, rounds=4).count() == 0
+
+
+def test_kcore_distributed_path_equals_fast_path(spark):
+    """Forcing the distributed peel (small_graph_threshold=0) returns the
+    same rows as the single-task fast path — the size gate changes the
+    plan, never the answer."""
+    from mehari_spark.operators.graph import kcore
+    from mehari_spark.plans.queries import _production_triples
+
+    tr = _production_triples(spark, "/root/testdata/sf0.001")
+    fast = {(r.entity_id, r.core_deg) for r in kcore(tr, k=3, rounds=6).collect()}
+    dist = {
+        (r.entity_id, r.core_deg)
+        for r in kcore(tr, k=3, rounds=6, small_graph_threshold=0).collect()
+    }
+    assert fast == dist and fast

@@ -115,6 +115,30 @@ class TestSpanDedup:
         got_w = span_matches_winnowed(docs, k=K, w=W, max_df=2).collect()
         assert {(r.doc_a, r.doc_b) for r in got_w} == {(10, 11)}
 
+    def test_trim_plan_merges_overlapping_spans(self, spark):
+        """Keep-first trim accounting: doc 3 shares two OVERLAPPING spans
+        (one with doc 1, one with doc 2) — the trim must count their
+        interval UNION once, and the lowest-id copies keep everything."""
+        from mehari_spark.operators.spandedup import span_trim_plan
+
+        rng = random.Random(19)
+        p = _rand_text(rng, 120)
+        # doc1 carries p[0:80], doc2 carries p[40:120]; doc3 carries all
+        # of p -> its two matched spans [1,80] and [41,120] overlap
+        docs = _docs(spark, [
+            (1, p[:80] + _rand_text(rng, 40)),
+            (2, _rand_text(rng, 40) + p[40:]),
+            (3, p),
+        ])
+        got = {r.doc_id: r for r in span_trim_plan(docs, k=K).collect()}
+        assert got[1].n_removed == 0
+        # doc2 shares p[40:80] with doc1 (doc1 < doc2): 40 chars removed
+        assert got[2].n_removed == 40
+        # doc3: union of [1..80] and [41..120] = 120, NOT 80+80
+        assert got[3].n_removed == 120
+        assert got[3].n_kept == 0
+        assert all(r.n_kept == r.n_chars - r.n_removed for r in got.values())
+
     def test_within_doc_repeats_not_reported(self, spark):
         """Repeated passages INSIDE one document are not cross-doc spans."""
         rng = random.Random(17)
@@ -181,3 +205,26 @@ class TestWinnowKernel:
         assert fingerprint_postings("abc", k=K, w=W) == []
         one = fingerprint_postings("x" * K, k=K, w=W)
         assert len(one) == 1 and one[0][0] == 1
+
+    def test_vectorized_equals_scalar(self):
+        """The numpy posting kernel (u64-wraparound prefix hashes +
+        sliding-window rightmost-min winnow) emits EXACTLY the scalar
+        reference's (pos, hash) postings — 40 random texts + edge sizes."""
+        from mehari_spark.kernels.fingerprint import (
+            gram_hashes_np,
+            posting_arrays,
+            rolling_hashes_u64,
+        )
+
+        rng = random.Random(41)
+        texts = [_rand_text(rng, n) for n in
+                 [0, K - 1, K, K + 1, K + W - 1, 50, 333, 2000]]
+        texts += [_rand_text(rng, rng.randrange(K, 600)) for _ in range(40)]
+        texts += ["a" * 100, ("ab" * 60)]  # degenerate periodic inputs
+        for t in texts:
+            want_h = rolling_hashes_u64(t, K)
+            got_h = gram_hashes_np(t, K)
+            assert [int(x) for x in got_h] == want_h
+            pos, h = posting_arrays(t, K, W)
+            want = fingerprint_postings(t, k=K, w=W)
+            assert list(zip(pos.tolist(), h.tolist())) == want

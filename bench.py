@@ -51,6 +51,18 @@ HEADLINE = [
     "kg_entity_degree",
     "kg_pagerank",
     "doc_tfidf_topterms",
+    # round 7: span-level dedup (the winnowed scale path), real trained-BPE
+    # token accounting, and the k-core community backbone
+    "doc_span_matches_winnowed",
+    "doc_bpe_real_tokens",
+    "kg_kcore",
+]
+
+# plan/metrics dumps WITHOUT a headline timing slot (--explain only):
+# batch twins of maintained views and other evidence-index entries
+EXPLAIN_EXTRA = [
+    "kg_current_degree",
+    "kg_current_predicates",
 ]
 
 
@@ -128,6 +140,27 @@ def main() -> None:
                     metrics = summarize_exchange(fn(spark, sf_dir))
                 with open(f"BENCH/plans/{name}.metrics.json", "w") as f:
                     json.dump({"rows": n, "capture": "cold", **metrics}, f)
+
+    if explain:
+        import contextlib
+        import io
+
+        from mehari_spark.plans.observe import summarize_exchange
+        from mehari_spark.plans.stagecache import cache_disabled
+
+        for name in EXPLAIN_EXTRA:
+            fn, _oracle = QUERIES[name]
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            with open(f"BENCH/plans/{name}.txt", "w") as f:
+                f.write(buf.getvalue())
+            with cache_disabled():
+                clear_shared_stages()
+                metrics = summarize_exchange(fn(spark, sf_dir))
+            with open(f"BENCH/plans/{name}.metrics.json", "w") as f:
+                json.dump({"rows": df.count(), "capture": "cold", **metrics}, f)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

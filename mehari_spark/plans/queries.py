@@ -3122,6 +3122,8 @@ from ..operators.spandedup import (  # noqa: E402
     span_matches,
     span_matches_oracle,
     span_matches_winnowed,
+    span_trim_plan,
+    span_trim_plan_oracle,
 )
 
 _SPAN_K = 24
@@ -3158,6 +3160,15 @@ def doc_span_matches_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_matches_winnowed(
         _read(spark, sf_dir, "documents"), k=_SPAN_K, w=_SPAN_W
     )
+
+
+@register("doc_span_trim_plan", span_trim_plan_oracle(k=_SPAN_K))
+def doc_span_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION of span dedup: per-document keep-first trim accounting —
+    characters removed as spans shared with any lower-id document, with
+    overlapping spans merged by interval-union islands (one window
+    shuffle). The oracle is the same algebra."""
+    return span_trim_plan(_read(spark, sf_dir, "documents"), k=_SPAN_K)
 
 
 # --------------------------------------------------------------------------
@@ -3243,6 +3254,7 @@ _REGISTRY_ORDER = [
     "q16_supplier_cnt",
     "q19_disjunctive_revenue",
     "doc_span_matches",
+    "doc_span_trim_plan",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q20_heavy_red_suppliers",

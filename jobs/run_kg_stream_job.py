@@ -15,7 +15,7 @@ Cluster usage (north_rule packaging contract):
         --input <arrival dir> --table <kg table dir> \
         --checkpoint <stream checkpoint dir> \
         [--buckets 64] [--max-files-per-trigger 16] [--maintain-degree] \
-        [--available-now | --follow]
+        [--maintain-predicates] [--available-now | --follow]
 
 ``--available-now`` (default) drains everything currently in --input and
 exits — the batch-catchup / cron shape. ``--follow`` runs until killed,
@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=16)
     ap.add_argument("--maintain-degree", action="store_true")
     ap.add_argument(
+        "--maintain-predicates",
+        action="store_true",
+        help="also maintain the per-predicate assertion-count view "
+        "(plans/incremental.py PREDICATE_VIEW, same refresh machinery)",
+    )
+    ap.add_argument(
         "--follow",
         action="store_true",
         help="run until killed instead of draining once (availableNow)",
@@ -76,6 +82,12 @@ def main() -> int:
         input_dir = os.path.join(os.path.dirname(args.table), "_kg_arrivals")
         write_arrival_chunk(transcripts(spark, args.sf_dir), input_dir)
 
+    extra_views = []
+    if args.maintain_predicates:
+        from mehari_spark.plans.incremental import PREDICATE_VIEW
+
+        extra_views.append(PREDICATE_VIEW)
+
     q = stream_kg_maintain(
         spark,
         input_dir,
@@ -85,6 +97,7 @@ def main() -> int:
         n_buckets=args.buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         maintain_degree=args.maintain_degree,
+        maintain_views=(extra_views or None),
         available_now=not args.follow,
     )
     q.awaitTermination()
@@ -99,6 +112,10 @@ def main() -> int:
         from mehari_spark.plans.incremental import read_kg_degree
 
         stats["degree_entities"] = read_kg_degree(spark, args.table).count()
+    if args.maintain_predicates:
+        from mehari_spark.plans.incremental import PREDICATE_VIEW, read_view
+
+        stats["predicates"] = read_view(spark, args.table, PREDICATE_VIEW).count()
     print(json.dumps(stats))
     spark.stop()
     return 0

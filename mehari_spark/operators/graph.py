@@ -873,6 +873,167 @@ GROUP BY e.src"""
     )
 
 
+def _lpa_rounds(
+    pairs: list[tuple[int, int]], rounds: int
+) -> dict[int, int]:
+    """Single-task mirror of the distributed synchronous label propagation:
+    same rounds, same (count DESC, label ASC) tie-break."""
+    adj: dict[int, list[int]] = {}
+    for a, b in {(x, y) if x < y else (y, x) for x, y in pairs if x != y}:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+def label_propagation(
+    triples: DataFrame,
+    rounds: int = 4,
+    small_graph_threshold: int = 4_000_000,
+) -> DataFrame:
+    """(entity_id, community): synchronous label propagation over the
+    undirected entity graph — ``rounds`` rounds of "adopt the most
+    frequent neighbor label", ties broken by the smaller label, labels
+    initialized to node ids. Fully deterministic (the classic LPA
+    randomized visit order replaced by synchronous rounds + total
+    tie-break), so the DuckDB oracle is GENERATED for the same round
+    count — the PageRank discipline.
+
+    Loop shape: stationary src-partitioned symmetric edges; per round one
+    join (labels -> edges), one (node, label) count agg, one top-1 window
+    — only the label relation shuffles. Per-round eager localCheckpoint
+    bounds plan depth. Graphs at or below ``small_graph_threshold``
+    symmetric edges run the same rounds in one task (the k-core /
+    connected-components fast-path discipline)."""
+    from ..plans.stagecache import materialize_once
+
+    spark = triples.sparkSession
+    sig = triples.semanticHash()
+    sym = materialize_once(
+        spark,
+        ("lpa_sym", sig),
+        lambda: (
+            triples.select(
+                F.least("subj_id", "obj_id").alias("a"),
+                F.greatest("subj_id", "obj_id").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                        F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .repartition("src")
+        ),
+    )
+    if small_graph_threshold > 0 and sym.count() <= small_graph_threshold:
+        import pandas as pd  # noqa: PLC0415
+
+        def lpa_all(it):
+            pairs: list[tuple[int, int]] = []
+            for pdf in it:
+                pairs.extend(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+            labels = _lpa_rounds(pairs, rounds)
+            nodes = sorted(labels)
+            yield pd.DataFrame(
+                {
+                    "entity_id": pd.Series(nodes, dtype="int64"),
+                    "community": pd.Series(
+                        [labels[n] for n in nodes], dtype="int64"
+                    ),
+                }
+            )
+
+        return sym.coalesce(1).mapInPandas(
+            lpa_all, schema="entity_id long, community long"
+        )
+
+    labels = sym.select(
+        F.col("src").alias("entity_id"), F.col("src").alias("community")
+    ).distinct()
+    prev_ckpt: DataFrame | None = None
+    for _ in range(rounds):
+        counts = (
+            sym.alias("e")
+            .join(
+                labels.alias("l"), F.col("e.dst") == F.col("l.entity_id")
+            )
+            .groupBy(
+                F.col("e.src").alias("entity_id"),
+                F.col("l.community").alias("community"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = W.partitionBy("entity_id").orderBy(
+            F.desc("cnt"), F.asc("community")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("entity_id", "community")
+        )
+        ckpt = labels.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            try:
+                prev_ckpt.rdd.unpersist()
+            except Exception:
+                pass
+        prev_ckpt = ckpt
+        labels = ckpt
+    return labels
+
+
+def label_propagation_oracle(
+    triples_rel: str = "triples", rounds: int = 4
+) -> str:
+    ctes = [
+        f"""lued AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj_id, obj_id) AS a, GREATEST(subj_id, obj_id) AS b
+  FROM {triples_rel} WHERE subj_id <> obj_id
+)""",
+        """lsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM lued
+  UNION ALL
+  SELECT b AS src, a AS dst FROM lued
+)""",
+        "ll0 AS MATERIALIZED (SELECT DISTINCT src AS entity_id, src AS community FROM lsym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""lc{r} AS (
+  SELECT e.src AS entity_id, l.community, COUNT(*) AS cnt
+  FROM lsym e JOIN ll{r - 1} l ON e.dst = l.entity_id
+  GROUP BY e.src, l.community
+)"""
+        )
+        ctes.append(
+            f"""ll{r} AS MATERIALIZED (
+  SELECT entity_id, community FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY entity_id ORDER BY cnt DESC, community ASC) AS rn
+    FROM lc{r}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT entity_id, community FROM ll{rounds}"
+    )
+
+
 # --------------------------------------------------------------------------
 # temporal "current state" snapshot
 # --------------------------------------------------------------------------

@@ -2782,6 +2782,8 @@ from ..operators.graph import (  # noqa: E402
     hub_reach_oracle,
     kcore,
     kcore_oracle,
+    label_propagation,
+    label_propagation_oracle,
     pagerank_int,
     pagerank_int_oracle,
     personalized_pagerank_int,
@@ -2977,6 +2979,7 @@ def kg_hub_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REACH_HOPS = 3
 _KCORE_K = 3
 _KCORE_ROUNDS = 6
+_LPA_ROUNDS = 4
 
 
 @register(
@@ -2990,6 +2993,21 @@ def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank, generated unrolled oracle for the same round count."""
     return kcore(
         _production_triples(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+
+
+@register(
+    "kg_label_prop",
+    f"WITH {_TRIPLES_CTE},\n{label_propagation_oracle('triples', rounds=_LPA_ROUNDS).strip()}",
+)
+def kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the KG entity graph
+    (4 rounds, most-frequent-neighbor label, count-then-min tie-break —
+    fully deterministic, so the unrolled oracle is generated for the same
+    round count); stationary-edge loop + small-graph fast path like
+    k-core."""
+    return label_propagation(
+        _production_triples(spark, sf_dir), rounds=_LPA_ROUNDS
     )
 
 
@@ -3296,6 +3314,7 @@ _REGISTRY_ORDER = [
     "kg_hub_reach",
     "kg_hub_ppr",
     "kg_kcore",
+    "kg_label_prop",
     # text curation extensions
     "doc_pii_scrub",
     "doc_tfidf_topterms",

@@ -342,3 +342,56 @@ def test_kcore_distributed_path_equals_fast_path(spark):
         for r in kcore(tr, k=3, rounds=6, small_graph_threshold=0).collect()
     }
     assert fast == dist and fast
+
+
+# --------------------------------------------------------------------------
+# label propagation (round 7)
+# --------------------------------------------------------------------------
+
+
+def test_lpa_planted_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: after 4 synchronous rounds
+    every member carries its clique's min id; the bridge does not merge
+    them (each side's internal majority dominates)."""
+    from mehari_spark.operators.graph import label_propagation
+
+    rows = []
+    t = 0
+    for base in (1, 11):
+        ids = [base, base + 1, base + 2, base + 3]
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    rows.append(("c", t, i, 10, j)); t += 1
+    rows.append(("c", t, 4, 10, 11))  # bridge
+    tdf = spark.createDataFrame(rows, COLS)
+    got = {r.entity_id: r.community
+           for r in label_propagation(tdf, rounds=4).collect()}
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert {got[i] for i in (12, 13, 14)} == {11}
+
+
+def test_lpa_distributed_equals_fast_path(spark):
+    """Forcing the distributed loop returns the same labels as the
+    single-task fast path on the production triples."""
+    from mehari_spark.operators.graph import label_propagation
+    from mehari_spark.plans.queries import _production_triples
+
+    tr = _production_triples(spark, "/root/testdata/sf0.001")
+    fast = {(r.entity_id, r.community)
+            for r in label_propagation(tr, rounds=4).collect()}
+    dist = {(r.entity_id, r.community)
+            for r in label_propagation(
+                tr, rounds=4, small_graph_threshold=0).collect()}
+    assert fast == dist and fast
+
+
+def test_lpa_python_mirror(spark, triples_df):
+    from mehari_spark.operators.graph import _lpa_rounds, label_propagation
+
+    edges = [(r.subj_id, r.obj_id)
+             for r in triples_df.select("subj_id", "obj_id").collect()]
+    want = _lpa_rounds(edges, 4)
+    got = {r.entity_id: r.community
+           for r in label_propagation(triples_df, rounds=4).collect()}
+    assert got == want

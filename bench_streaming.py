@@ -287,6 +287,33 @@ def main() -> None:
         "degree_entities": read_kg_degree(spark, kg_table2).count(),
     }
 
+    # TWO maintained views through the generalized PartialAggSpec
+    # machinery (round 7): the delta vs the one-view leg is the marginal
+    # cost of each additional view (shares the touched-bucket read)
+    from mehari_spark.plans.incremental import (
+        DEGREE_VIEW,
+        PREDICATE_VIEW,
+        read_view,
+    )
+
+    kg_table3 = os.path.join(tmp, "kg_table_2v")
+    kg_ck3 = os.path.join(tmp, "kg_ck_2v")
+    t0 = time.time()
+    q = stream_kg_maintain(
+        spark, kg_in, kg_table3, kg_ck3, demo_patterns(),
+        n_buckets=8, max_files_per_trigger=16,
+        maintain_views=[DEGREE_VIEW, PREDICATE_VIEW],
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    out["kg_maintain_two_views"] = {
+        "rows": n_turns,
+        "sec": round(dt, 2),
+        "rows_per_sec": round(n_turns / dt, 1),
+        "degree_entities": read_view(spark, kg_table3, DEGREE_VIEW).count(),
+        "predicates": read_view(spark, kg_table3, PREDICATE_VIEW).count(),
+    }
+
     # --- sessionization (unchanged headline) ---
     ev_dir = os.path.join(tmp, "events_in")
     (

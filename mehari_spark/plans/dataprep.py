@@ -8,6 +8,8 @@ build brief names as first-class into ONE resumable job:
       -> exact dedup (md5 groups; keep min doc_id per hash)
       -> near-dup clustering (MinHash-LSH pairs -> global pointer-jump CC;
          keep the min-doc_id representative per component)
+      -> optional span-level shared-passage gate (operators/spandedup.py
+         dup mass; span_dup_max_permille)
       -> token accounting (BPE-ish regexp_extract_all, JVM-side)
       -> bucketed, checkpointed, sorted-file write (plans/lineage.py)
 
@@ -33,13 +35,16 @@ def curate_documents(
     docs: DataFrame,
     near_dup_threshold: float = 0.95,
     cc_checkpoint_dir: str | None = None,
+    span_dup_max_permille: int | None = None,
 ) -> DataFrame:
     """documents -> one row per INPUT doc with the full curation verdict.
 
     Columns: doc_id, lang, pred_lang, n_tokens, n_bpe, n_bpe_real (trained
     BPE merges — operators/bpe.py), filter_reasons,
     exact_rep (min doc_id of its md5 group), component_id (near-dup
-    cluster), kept (passed quality AND is its cluster's representative).
+    cluster), span_dropped (shared-passage gate verdict, False when the
+    gate is off), kept (passed quality AND not span-dropped AND is its
+    cluster's representative).
     The caller filters ``kept`` for the curated corpus; keeping the full
     verdict table makes every drop auditable (report.jsonl discipline).
     """
@@ -112,13 +117,32 @@ def curate_documents(
     # exact-duplicate collapses.
     from pyspark.sql import Window as W
 
+    # optional span-level dedup gate (round 7, operators/spandedup.py):
+    # drop docs whose k-gram positions are mostly shared with OTHER docs
+    # (span_dup_permille above the threshold) — the cross-document
+    # shared-passage screen doc-level near-dup misses. The MASS gate is
+    # SYMMETRIC: every heavy copy drops (a doc survives iff it carries
+    # enough unique material); keep-one-copy semantics is the separate
+    # span_trim_plan operator. Attribution stays separate from the
+    # quality bitmask (span_dropped column) so every drop remains
+    # auditable; representative election treats span-dropped docs like
+    # quality failures (they can't represent their component).
+    if span_dup_max_permille is not None:
+        from ..operators.spandedup import span_dup_mass
+
+        mass = span_dup_mass(docs, k=16).select("doc_id", "dup_permille")
+        out = out.join(mass, "doc_id", "left").withColumn(
+            "span_dropped",
+            F.coalesce(F.col("dup_permille"), F.lit(0))
+            > span_dup_max_permille,
+        ).drop("dup_permille")
+    else:
+        out = out.withColumn("span_dropped", F.lit(False))
+
     w = W.partitionBy("component_id")
-    rep = F.min(
-        F.when(F.col("filter_reasons") == 0, F.col("doc_id"))
-    ).over(w)
-    return out.withColumn(
-        "kept", (F.col("filter_reasons") == 0) & (F.col("doc_id") == rep)
-    )
+    eligible = (F.col("filter_reasons") == 0) & ~F.col("span_dropped")
+    rep = F.min(F.when(eligible, F.col("doc_id"))).over(w)
+    return out.withColumn("kept", eligible & (F.col("doc_id") == rep))
 
 
 def run_dataprep(
@@ -129,6 +153,7 @@ def run_dataprep(
     n_buckets: int = 8,
     near_dup_threshold: float = 0.95,
     mixture_weights: dict[str, float] | None = None,
+    span_dup_max_permille: int | None = None,
 ) -> dict:
     """Full curation job: verdict table -> bucketed committed write of the
     KEPT corpus + stage counters. Returns the counters dict (also appended
@@ -143,15 +168,23 @@ def run_dataprep(
     independently)."""
     from .lineage import write_bucketed, write_metrics
 
-    verdict = curate_documents(docs, near_dup_threshold).localCheckpoint(
-        eager=True
-    )
+    verdict = curate_documents(
+        docs, near_dup_threshold,
+        span_dup_max_permille=span_dup_max_permille,
+    ).localCheckpoint(eager=True)
     agg = verdict.agg(
         F.count("*").alias("n_input"),
         F.sum((F.col("filter_reasons") != 0).cast("long")).alias("n_quality_drop"),
         F.sum(
-            ((F.col("filter_reasons") == 0) & ~F.col("kept")).cast("long")
+            (
+                (F.col("filter_reasons") == 0)
+                & ~F.col("span_dropped")
+                & ~F.col("kept")
+            ).cast("long")
         ).alias("n_dup_drop"),
+        F.sum(
+            ((F.col("filter_reasons") == 0) & F.col("span_dropped")).cast("long")
+        ).alias("n_span_drop"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
         F.sum(
             (F.col("kept") & (F.col("split") == "train")).cast("long")

@@ -90,3 +90,42 @@ class TestCurateDocuments:
         assert splits <= {"train", "val", "test"} and "train" in splits
         n_train = table.filter(F.col("split") == "train").count()
         assert n_train == c["n_kept_train"] > 0
+
+
+class TestSpanGate:
+    def test_span_gate_drops_shared_passage_doc(self, spark):
+        """With the span gate on, a doc that is mostly a passage shared
+        with a lower-id doc is dropped and attributed to n_span_drop; with
+        the gate off (default) behavior is unchanged."""
+        import random as _random
+
+        from mehari_spark.plans.dataprep import curate_documents
+
+        rng = _random.Random(31)
+
+        def _txt(n):
+            # quality-passing word salad from the corpus vocabulary
+            words = ["data", "query", "table", "merge", "batch", "window",
+                     "group", "order", "hash", "scan", "filter", "value"]
+            return " ".join(rng.choice(words) for _ in range(n))
+
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(40)
+        passage = _txt(30)
+        extra = spark.createDataFrame(
+            [
+                (9001, passage + " " + _txt(3), "en", "synth", 0),
+                (9002, passage + " " + _txt(4), "en", "synth", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs = base.unionByName(extra)
+        gated = curate_documents(docs, span_dup_max_permille=500)
+        got = {r.doc_id: r for r in gated.collect()}
+        assert got[9002].span_dropped and not got[9002].kept
+        # the mass gate is symmetric: the other heavy copy drops too
+        assert got[9001].span_dropped and not got[9001].kept
+        # default: no span gate, column present but all False
+        plain = curate_documents(docs)
+        assert not any(r.span_dropped for r in plain.collect())

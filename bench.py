@@ -63,6 +63,8 @@ HEADLINE = [
 EXPLAIN_EXTRA = [
     "kg_current_degree",
     "kg_current_predicates",
+    "kg_label_prop",
+    "doc_span_trim_plan",
 ]
 
 

@@ -17,13 +17,16 @@ discipline).
 
 The machinery is PARAMETERIZED over a ``PartialAggSpec``: a row-local
 transform of the fact rows (must not shuffle — it runs inside the
-per-bucket job), grouping columns, and measure columns whose partial is
-SUM per (bucket, group) and whose global merge is SUM over partials.
-Any sum-mergeable view (counts are sums) is maintained by the SAME
-refresh code — no new maintenance plumbing per view. Two shipped views:
-``DEGREE_VIEW`` (per-entity in/out degree) and ``PREDICATE_VIEW``
-(per-predicate assertion counts), each with an oracle-checked batch twin
-(``kg_current_degree`` / ``kg_current_predicates`` in plans/queries.py).
+per-bucket job), grouping columns, and measure columns each merged under
+a commutative MONOID (sum, min, or max) — the bucket partial applies the
+op to the bucket's rows and the global view applies the SAME op to the
+partials. Any such view is maintained by the SAME refresh code — no new
+maintenance plumbing per view. Three shipped views: ``DEGREE_VIEW``
+(per-entity in/out degree), ``PREDICATE_VIEW`` (per-predicate assertion
+counts) and ``PRED_LATEST_VIEW`` (mixed sum+max: counts + newest
+assertion timestamp), each with an oracle-checked batch twin
+(``kg_current_degree`` / ``kg_current_predicates`` /
+``kg_current_pred_latest`` in plans/queries.py).
 
 Partials are DERIVED data: every refresh is a deterministic function of
 the bucket's current content, so refreshes are idempotent and crash
@@ -56,9 +59,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_AGG_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 @dataclass(frozen=True)
 class PartialAggSpec:
-    """A view maintainable by per-bucket partial sums.
+    """A view maintainable by per-bucket partials under any commutative
+    MONOID merge (sum / min / max): the bucket partial applies the op to
+    the bucket's rows, the global merge applies the SAME op to the
+    partials — associativity + commutativity make the two-level
+    evaluation equal the flat one.
 
     ``row_fn`` maps the fact rows to the view's input rows — it must be
     ROW-LOCAL (select/explode/filter only, no shuffle: it executes inside
@@ -66,13 +76,30 @@ class PartialAggSpec:
     (bucket, group)), and it must PROPAGATE the ``_part`` partition
     column the machinery attaches (refresh validates this and raises).
     ``group_cols`` key the view; ``sum_cols`` are long-typed measures
-    produced by ``row_fn`` whose bucket partial is their SUM and whose
-    global merge is the SUM of partials."""
+    produced by ``row_fn``; ``agg_kinds`` gives each measure's monoid
+    ("sum" default — counts are sums; "min"/"max" for extrema like
+    latest-assertion timestamps)."""
 
     name: str
     row_fn: Callable[[DataFrame], DataFrame]
     group_cols: tuple[str, ...]
     sum_cols: tuple[str, ...]
+    agg_kinds: tuple[str, ...] | None = None
+
+    def kinds(self) -> tuple[str, ...]:
+        ks = self.agg_kinds or tuple("sum" for _ in self.sum_cols)
+        if len(ks) != len(self.sum_cols) or any(k not in _AGG_FNS for k in ks):
+            raise ValueError(
+                f"agg_kinds of view {self.name!r} must parallel sum_cols "
+                f"with values in {sorted(_AGG_FNS)}; got {ks!r}"
+            )
+        return ks
+
+    def agg_exprs(self) -> list:
+        return [
+            _AGG_FNS[kind](c).cast("long").alias(c)
+            for c, kind in zip(self.sum_cols, self.kinds())
+        ]
 
 
 def _keep(rows: DataFrame, *cols) -> list:
@@ -103,6 +130,20 @@ def _degree_rows(rows: DataFrame) -> DataFrame:
     )
 
 
+def _pred_latest_rows(rows: DataFrame) -> DataFrame:
+    """(pred_id, n_assertions, latest_ts): per-predicate count + newest
+    assertion timestamp — a MIXED-monoid view (sum + max) demonstrating
+    the general merge."""
+    return rows.select(
+        *_keep(
+            rows,
+            F.col("pred_id"),
+            F.lit(1).cast("long").alias("n_assertions"),
+            F.col("ts_epoch").cast("long").alias("latest_ts"),
+        )
+    )
+
+
 def _predicate_rows(rows: DataFrame) -> DataFrame:
     """(pred_id, n_assertions): assertion counts per predicate (current-
     state rows are unique per (subj,pred), so this is also the subject
@@ -117,6 +158,13 @@ DEGREE_VIEW = PartialAggSpec(
 )
 PREDICATE_VIEW = PartialAggSpec(
     "predicates", _predicate_rows, ("pred_id",), ("n_assertions",)
+)
+PRED_LATEST_VIEW = PartialAggSpec(
+    "pred_latest",
+    _pred_latest_rows,
+    ("pred_id",),
+    ("n_assertions", "latest_ts"),
+    agg_kinds=("sum", "max"),
 )
 
 
@@ -177,9 +225,7 @@ def refresh_partials(
             "partition column alongside its group/sum columns"
         )
     inc = tagged.select("_part", *spec.group_cols, *spec.sum_cols)
-    partials = inc.groupBy("_part", *spec.group_cols).agg(
-        *[F.sum(c).cast("long").alias(c) for c in spec.sum_cols]
-    )
+    partials = inc.groupBy("_part", *spec.group_cols).agg(*spec.agg_exprs())
 
     adir = _view_dir(table_dir, spec)
     os.makedirs(adir, exist_ok=True)
@@ -231,9 +277,7 @@ def read_view(
     partials = spark.read.parquet(
         os.path.join(_view_dir(table_dir, spec), "part=*")
     )
-    return partials.groupBy(*spec.group_cols).agg(
-        *[F.sum(c).cast("long").alias(c) for c in spec.sum_cols]
-    )
+    return partials.groupBy(*spec.group_cols).agg(*spec.agg_exprs())
 
 
 # ---------------------------------------------------------------------------

@@ -2942,6 +2942,27 @@ def kg_current_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_current_pred_latest",
+    f"""WITH {_TRIPLES_CTE},
+{_CURRENT_CTE.strip()}
+SELECT pred_id, COUNT(*)::BIGINT AS n_assertions,
+       MAX(ts_epoch)::BIGINT AS latest_ts
+FROM cur GROUP BY pred_id""",
+)
+def kg_current_pred_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate assertion counts + NEWEST assertion timestamp of the
+    current-state snapshot — batch twin of PRED_LATEST_VIEW, the MIXED-
+    monoid (sum + max) maintained view: the generalized PartialAggSpec
+    merge is per-measure, so extrema views need no new machinery either
+    (tests/test_kg_stream.py cross-asserts stream vs scan)."""
+    cur = QUERIES["kg_triples_current"][0](spark, sf_dir)
+    return cur.groupBy("pred_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assertions"),
+        F.max("ts_epoch").cast("long").alias("latest_ts"),
+    )
+
+
+@register(
     "kg_components",
     f"WITH RECURSIVE {_TRIPLES_CTE},\n{entity_components_oracle('triples').strip()}",
 )
@@ -3309,6 +3330,7 @@ _REGISTRY_ORDER = [
     "kg_entity_degree",
     "kg_two_hop",
     "kg_triples_current",
+    "kg_current_pred_latest",
     "kg_components",
     "kg_triangles",
     "kg_hub_reach",

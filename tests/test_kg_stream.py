@@ -236,6 +236,50 @@ class TestKgStream:
             _sorted_pdf(_degree_scan_twin(spark, table))
         )
 
+    def test_mixed_monoid_view(self, spark, tmp_path):
+        """PRED_LATEST_VIEW merges one measure by SUM and one by MAX: the
+        stream-maintained view equals the full-scan twin after interleaved
+        multi-epoch waves (UPDATE epochs move latest_ts forward)."""
+        from mehari_spark.plans.incremental import PRED_LATEST_VIEW, read_view
+
+        turns = _turns(spark)
+        in_dir = str(tmp_path / "in")
+        table = str(tmp_path / "kg")
+        ck = str(tmp_path / "ck")
+        for lo, hi in [(0, 3), (3, 1_000_000)]:
+            write_arrival_chunk(
+                turns.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)),
+                in_dir,
+            )
+        q = stream_kg_maintain(
+            spark, in_dir, table, ck, demo_patterns(),
+            n_buckets=8, max_files_per_trigger=1,
+            maintain_views=[PRED_LATEST_VIEW],
+        )
+        q.awaitTermination()
+        got = _sorted_pdf(read_view(spark, table, PRED_LATEST_VIEW))
+        want = _sorted_pdf(
+            read_kg_current(spark, table)
+            .groupBy("pred_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_assertions"),
+                F.max("ts_epoch").cast("long").alias("latest_ts"),
+            )
+        )
+        assert len(got) > 0
+        assert got.equals(want)
+
+    def test_bad_agg_kind_rejected(self):
+        import pytest as _pytest
+
+        from mehari_spark.plans.incremental import PartialAggSpec
+
+        spec = PartialAggSpec(
+            "bad", lambda df: df, ("g",), ("x",), agg_kinds=("avg",)
+        )
+        with _pytest.raises(ValueError):
+            spec.kinds()
+
     def test_view_catch_up_generalized(self, spark, tmp_path):
         """Late-enable catch-up through the parameterized machinery: a
         PREDICATE_VIEW refresh with an empty touched list catches up every

@@ -48,6 +48,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``_read`` + balance a sub-parallelism scan across the cores.
+
+    The local testdata parquet files are a SINGLE row group, so Spark's
+    file splitting yields one non-empty task and every kernel in the scan
+    stage runs serially (optimization guide §2.5: unsplittable input —
+    repartition right after the read). Conditional on the split count, so
+    at cluster scale (>= cores splits) it is a no-op rather than an extra
+    exchange."""
+    df = _read(spark, sf_dir, table)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 
 # --------------------------------------------------------------------------
 # shared oracle CTE fragments
@@ -121,7 +137,7 @@ FROM em GROUP BY conv_id, turn_idx, entity_id""",
 )
 def kg_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 analog: Aho-Corasick entity mention detection (mapInPandas)."""
-    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
+    m = detect_mentions(transcripts(spark, sf_dir, spread="auto"), demo_patterns())
     return (
         m.filter(F.col("kind") == "E")
         .groupBy("conv_id", "turn_idx", F.col("ref_id").alias("entity_id"))
@@ -137,7 +153,7 @@ FROM pm GROUP BY conv_id, turn_idx, canon_id""",
 )
 def kg_predicate_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2/SO-canonicalization analog: predicate mentions, umbrella-rewritten."""
-    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
+    m = detect_mentions(transcripts(spark, sf_dir, spread="auto"), demo_patterns())
     return (
         m.filter(F.col("kind") == "P")
         .groupBy("conv_id", "turn_idx", F.col("canon_id").alias("pred_id"))
@@ -152,7 +168,7 @@ SELECT conv_id, turn_idx, subj_id, pred_id, obj_id FROM triples""",
 )
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: mention scan -> windowed triple assembly -> best-per-group dedup."""
-    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
+    m = detect_mentions(transcripts(spark, sf_dir, spread="auto"), demo_patterns())
     return assemble_triples(m).select(
         "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
     )
@@ -179,9 +195,19 @@ SELECT conv_id, node AS entity_id, MIN(root)::BIGINT AS cluster_id
 FROM reach GROUP BY conv_id, node""",
 )
 def kg_coref_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 analog: per-conversation coreference connected components."""
-    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
-    return coref_clusters(assemble_triples(m))
+    """J8 analog: per-conversation coreference connected components.
+
+    Upstream is the PRODUCTION fused triple extractor (scan-local kernel)
+    rather than the windowed reference plan: results are identical by the
+    cross-asserted fused==windowed invariant (tests/test_golden_pipeline),
+    the oracle is unchanged, and dropping the two window exchanges
+    measured 1.84 -> 1.35 s at sf0.1."""
+    from ..operators.triples import extract_triples_fused
+
+    t = extract_triples_fused(
+        transcripts(spark, sf_dir, spread="auto"), demo_patterns()
+    )
+    return coref_clusters(t)
 
 
 @register(
@@ -1584,7 +1610,7 @@ def kg_canonicalized_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonicalize_corpus,
     )
 
-    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
+    m = detect_mentions(transcripts(spark, sf_dir, spread="auto"), demo_patterns())
     t = assemble_triples(m).select(
         "conv_id", "turn_idx", "subj_id", "pred_id", "obj_id"
     )
@@ -1773,7 +1799,14 @@ SELECT conv_id, turn_idx, subj_id, pred_id, obj_id FROM triples""",
 def kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production fused kernel (scan-local AC + assembly + dedup, zero
     shuffles) checked against the SAME oracle as the windowed plan — the
-    two implementations are interchangeable by construction."""
+    two implementations are interchangeable by construction.
+
+    Deliberately NOT input-spread (no ``spread="auto"``): this entry is
+    the plan-dumped evidence that the kernel itself needs ZERO exchanges
+    (tests/test_observe.py gates 0 shuffle bytes); balancing the local
+    single-row-group file would add an input exchange that at cluster
+    scale does not exist. The other fused consumers spread their input
+    because their plans contain downstream exchanges anyway."""
     from ..operators.triples import extract_triples_fused
 
     return extract_triples_fused(transcripts(spark, sf_dir), demo_patterns()).select(
@@ -1811,7 +1844,9 @@ def kg_triples_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT re-execute the mention kernel (at 100 TB the freq KB comes from a
     # pruned second scan of the MATERIALIZED table, never a recompute)
     t = (
-        extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
+        extract_triples_fused(
+            transcripts(spark, sf_dir, spread="auto"), demo_patterns()
+        )
         .select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id")
         .localCheckpoint(eager=True)
     )
@@ -1855,6 +1890,9 @@ def kg_compound_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.compound import compound_triples
     from ..operators.triples import extract_triples_fused
 
+    # input-spread measured SLOWER here (1.14 -> 1.29 s at sf0.1): the
+    # single fat scan partition partial-aggregates the (conv, subj) groups
+    # before the shuffle better than 32 balanced ones (guide §2.3)
     t = extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
     return compound_triples(
         t.select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id")
@@ -1986,7 +2024,7 @@ FROM tr_c GROUP BY conv_id, cluster_id""",
 def kg_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 analog (SV cluster merge): per-coref-cluster rollup — join triples
     onto their subject's cluster, aggregate counts per (conv, cluster)."""
-    m = detect_mentions(transcripts(spark, sf_dir), demo_patterns())
+    m = detect_mentions(transcripts(spark, sf_dir, spread="auto"), demo_patterns())
     t = assemble_triples(m)
     clusters = coref_clusters(t)
     joined = t.join(
@@ -2074,7 +2112,7 @@ def kg_triples_multitok(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.triples import extract_triples_fused
 
     return extract_triples_fused(
-        transcripts(spark, sf_dir), multitok_patterns()
+        transcripts(spark, sf_dir, spread="auto"), multitok_patterns()
     ).select("conv_id", "turn_idx", "subj_id", "pred_id", "obj_id")
 
 
@@ -2801,6 +2839,11 @@ def _production_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     production upstream for every downstream graph consumer."""
     from ..operators.triples import extract_triples_fused
 
+    # no input spread: every graph consumer's first move is an aggregation
+    # (distinct edges / incidence groupBy), and the single fat partition
+    # partial-aggregates before the shuffle better than balanced ones —
+    # A/B measured degree 0.68 -> 0.90 s, pagerank 1.74 -> 1.93 s WORSE
+    # with a spread input at sf0.1 (guide §2.3)
     return extract_triples_fused(transcripts(spark, sf_dir), demo_patterns())
 
 
@@ -3117,6 +3160,9 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-scaled TF-IDF top-3 terms per document (floor-div idf steps
     — no float/log, so cross-engine exact)."""
+    # input-spread measured 0.8 -> 1.8 s WORSE here: the per-partition
+    # partial agg of (doc, token) collapses the exploded token stream far
+    # better from one fat partition than from 32 balanced ones (§2.3)
     return tfidf_topterms(_read(spark, sf_dir, "documents"), k=3)
 
 
@@ -3148,6 +3194,9 @@ def doc_bpe_real_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (regenerated + compared in tests) joined to the documents
     view; valid at both oracle scales since documents.parquet is
     identical at sf0.001 and sf0.01."""
+    # no input spread: the encode kernel is cheap at this corpus size
+    # (per-executor word cache) and the balance shuffle costs more than
+    # the parallelism buys — A/B 0.29 -> 0.42 s worse spread
     return bpe_token_counts(_read(spark, sf_dir, "documents"))
 
 
@@ -3197,7 +3246,7 @@ def doc_span_matches_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — a genuinely different algorithm checked to the same
     answer."""
     return span_matches_winnowed(
-        _read(spark, sf_dir, "documents"), k=_SPAN_K, w=_SPAN_W
+        _read_spread(spark, sf_dir, "documents"), k=_SPAN_K, w=_SPAN_W
     )
 
 

@@ -57,13 +57,24 @@ def derive_transcripts(docs: DataFrame) -> DataFrame:
 
 
 def transcripts(
-    spark: SparkSession, sf_dir: str, spread: int | None = None
+    spark: SparkSession, sf_dir: str, spread: int | str | None = None
 ) -> DataFrame:
     """``spread`` repartitions the (single-file) documents source before the
     derivation so downstream map stages parallelize — the 100 TB input is
-    thousands of Iceberg files and needs no such help."""
+    thousands of Iceberg files and needs no such help.
+
+    ``spread="auto"`` balances ONLY when the scan yields fewer splits than
+    ``defaultParallelism`` (the local testdata parquet is a single row
+    group, so every downstream kernel would otherwise run in one task —
+    the unsplittable-input case of the optimization guide §2.5); at
+    cluster scale the scan already has >= cores splits and this is a
+    no-op, so the knob is scale-adaptive rather than local-tuned."""
     docs = load_documents(spark, sf_dir)
-    if spread:
+    if spread == "auto":
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+    elif spread:
         docs = docs.repartition(spread)
     return derive_transcripts(docs)
 

@@ -57,18 +57,24 @@ def cosine_topk(
     q_src = queries_df if queries_df is not None else embeddings.filter(
         F.col(id_col).isin(query_ids)
     )
+    # per-side norm precompute: |queries| + |corpus| HOF folds instead of
+    # 2x|corpus x queries| inside the scored row — bit-identical cos
     q = q_src.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -305,7 +311,11 @@ def ivf_topk(
     probes = queries.select(id_col, vec_col).mapInPandas(
         q_probes, schema="query_id long, centroid int"
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
     cand = (
         probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "centroid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -314,13 +324,15 @@ def ivf_topk(
         .join(F.broadcast(qv), "query_id")
         .join(
             embeddings.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                _norm(F.col(vec_col)).alias("cn"),
             ),
             "neighbor_id",
         )
         .withColumn(
             "cos",
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -850,8 +862,20 @@ def lsh_near_dup_pairs(
         )
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    vb = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    # norms are per-VECTOR, not per-pair: compute them once on each join
+    # side (|corpus| evaluations) instead of inside the candidate row
+    # (2x|candidates| interpreted HOF folds) — bit-identical cos, the
+    # re-rank stage measured ~1.9 s -> ~0.7 s at sf0.1 (guide §1.2 step 2)
+    va = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        _norm(F.col(vec_col)).alias("norm_a"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        _norm(F.col(vec_col)).alias("norm_b"),
+    )
     scored = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -859,7 +883,7 @@ def lsh_near_dup_pairs(
             "cos",
             F.round(
                 _dot(F.col("ea"), F.col("eb"))
-                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                / (F.col("norm_a") * F.col("norm_b")),
                 9,
             ),
         )

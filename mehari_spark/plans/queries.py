@@ -671,18 +671,25 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _dot, _norm
 
     emb = _read(spark, sf_dir, "embeddings")
+    # norms precomputed once per side (10 + |corpus| HOF folds instead of
+    # 2x|corpus x queries| per-pair) — bit-identical cos values
     q = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     scored = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 9,
             ),
         )
@@ -729,12 +736,20 @@ def emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"at 100000 vectors (got {n_vecs}); use emb_near_dup_lsh "
             f"(operators/similarity.embedding_near_dup_lsh) at scale"
         )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).withColumn(
         "cos",
         F.round(
-            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
             9,
         ),
     )

@@ -66,6 +66,40 @@ def minhash_signature(
     return h.min(axis=1)
 
 
+def signatures_batch(
+    tok_sets: list[set],
+    memo: dict[str, int],
+    a: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray:
+    """MinHash signatures for a whole batch of token SETS at once.
+
+    One (num_perm, total_tokens) universal-hash pass over the batch's
+    concatenated token hashes + ``np.minimum.reduceat`` per document
+    segment — bit-identical to calling :func:`minhash_signature` per
+    document (same permutation values, min over the same set; min is
+    order-independent), but the modulo pass and the min run as two
+    vectorized ops instead of one small numpy call per document. Empty
+    documents get the uint64-max sentinel signature, as before."""
+    num_perm = a.shape[0]
+    n = len(tok_sets)
+    lens = np.fromiter((len(s) for s in tok_sets), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if total == 0:
+        return sigs
+    th = np.fromiter(
+        (memo[t] for s in tok_sets for t in s), dtype=np.uint64, count=total
+    )
+    with np.errstate(over="ignore"):
+        h = (a[:, None] * (th[None, :] & _MERSENNE) + b[:, None]) % _MERSENNE
+    nonempty = lens > 0
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
+    # reduceat segments must start in-bounds; empty docs keep the sentinel
+    sigs[nonempty] = np.minimum.reduceat(h, starts, axis=1).T
+    return sigs
+
+
 def band_keys_matrix(signatures: np.ndarray, bands: int) -> np.ndarray:
     """Band bucket keys for a whole BATCH of signatures at once.
 

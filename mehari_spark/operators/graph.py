@@ -148,11 +148,37 @@ GROUP BY a.pred_id, b.pred_id
 RANK_UNIT = 1_000_000  # micro-units: rank 1.0 == 1_000_000
 
 
+def _pagerank_local(
+    src, dst, iters: int, damping_pct: int
+):
+    """Single-task mirror of the distributed integer recurrence.
+
+    Pure int64 arithmetic (floor div, exact sums) — the SAME spec as the
+    join/agg loop, so labels are bit-identical by construction (integer
+    math has no summation-order hazard, unlike float PageRank)."""
+    import numpy as np
+
+    base = (100 - damping_pct) * 10_000
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: src.size], inv[src.size :]
+    outdeg = np.bincount(si, minlength=nodes.size).astype(np.int64)
+    ranks = np.full(nodes.size, RANK_UNIT, dtype=np.int64)
+    for _ in range(iters):
+        contrib = ranks[si] // outdeg[si]
+        incoming = np.zeros(nodes.size, dtype=np.int64)
+        np.add.at(incoming, di, contrib)  # exact int64 accumulation
+        ranks = base + (incoming * damping_pct) // 100
+    return nodes, ranks
+
+
 def pagerank_int(
     triples: DataFrame,
     iters: int = 5,
     damping_pct: int = 85,
     checkpoint_every: int | None = None,
+    small_graph_threshold: int = 4_000_000,
 ) -> DataFrame:
     """(entity_id, rank_micro): PageRank in 64-bit integer micro-units.
 
@@ -180,6 +206,43 @@ def pagerank_int(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # SMALL-GRAPH FAST PATH (the connected_components_global/kcore
+    # discipline): below the threshold the edge list fits one task and the
+    # whole ``iters``-round recurrence runs locally — identical output
+    # (same int64 spec; forced-distributed equality test-gated), none of
+    # the ~3 stages/round of driver+shuffle latency that dominates small
+    # graphs. Pass 0 to force the distributed rounds; the checkpointed
+    # mode always takes them — its value IS the resumable iteration.
+    if checkpoint_every is None and small_graph_threshold > 0:
+        edges_m = materialize_once(spark, ("pagerank_edges", sig), lambda: edges)
+        if edges_m.count() <= small_graph_threshold:
+            import numpy as np
+            import pandas as pd  # noqa: PLC0415
+
+            def pr_all(it):
+                srcs: list = []
+                dsts: list = []
+                for pdf in it:
+                    srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+                    dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+                src = (
+                    np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
+                )
+                dst = (
+                    np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
+                )
+                nodes, ranks = _pagerank_local(src, dst, iters, damping_pct)
+                yield pd.DataFrame(
+                    {
+                        "entity_id": pd.Series(nodes, dtype="int64"),
+                        "rank_micro": pd.Series(ranks, dtype="int64"),
+                    }
+                )
+
+            return edges_m.coalesce(1).mapInPandas(
+                pr_all, schema="entity_id long, rank_micro long"
+            )
+        edges = edges_m
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # The (src, dst, outdeg) relation and the node set are consumed EVERY
     # iteration: materialize each once (bounded stage cache — the GraphX/
@@ -701,7 +764,14 @@ def _peel_rounds(
 ) -> dict[int, int]:
     """Single-task mirror of the distributed peel: the SAME ``rounds``
     synchronous filter rounds (not the fixpoint — identical contract),
-    returning {survivor: degree within the final survivor set}."""
+    returning {survivor: degree within the final survivor set}.
+
+    Survivors with ZERO neighbors in the final alive set are dropped,
+    matching the distributed path's final inner join (and the generated
+    oracle), which emits no row for such nodes — below the fixpoint the
+    two paths previously disagreed on exactly those rows (round-7 ADVICE
+    finding; at or past the fixpoint every survivor has deg >= k >= 1,
+    so shipped results are unchanged)."""
     und = {(a, b) if a < b else (b, a) for a, b in pairs if a != b}
     adj: dict[int, set[int]] = {}
     for a, b in und:
@@ -712,7 +782,12 @@ def _peel_rounds(
         alive = {
             n for n in alive if sum(m in alive for m in adj[n]) >= k
         }
-    return {n: sum(m in alive for m in adj[n]) for n in alive}
+    out: dict[int, int] = {}
+    for n in alive:
+        d = sum(m in alive for m in adj[n])
+        if d >= 1:
+            out[n] = d
+    return out
 
 
 def kcore(

@@ -109,6 +109,37 @@ def test_pagerank_checkpointed_loop_identical(spark, triples_df):
     assert plain == ckpt
 
 
+def test_pagerank_fast_path_equals_distributed(spark, triples_df):
+    """The single-task small-graph fast path must return EXACTLY the
+    distributed rounds' labels (same int64 recurrence; forced via
+    small_graph_threshold=0), including on a graph with danglers and
+    multiple components."""
+    fast = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(triples_df, iters=5).collect()
+    }
+    dist = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(
+            triples_df, iters=5, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    # planted multi-component graph with dangling nodes
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (6, 7), (7, 6), (8, 9)]
+    rows = [("c", 0, s, 1, d) for s, d in edges]
+    df = spark.createDataFrame(rows, COLS)
+    fast2 = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(df, iters=4).collect()
+    }
+    dist2 = {
+        r["entity_id"]: r["rank_micro"]
+        for r in pagerank_int(df, iters=4, small_graph_threshold=0).collect()
+    }
+    assert fast2 == dist2
+
+
 def test_pagerank_tracks_float_ordering(spark):
     """On a larger random-ish planted graph, the integer recurrence induces
     the same top/bottom ordering as conventional float PageRank (same

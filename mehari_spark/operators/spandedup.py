@@ -263,8 +263,19 @@ def span_matches_winnowed(
     one span. Never all-pairs; ``max_df`` bounds boilerplate-key fan-out
     at corpus scale."""
     min_len = k + w - 1
+    # materialized ONCE via the bounded stage cache (NOT a bare eager
+    # localCheckpoint, whose blocks a long-lived session could never
+    # release because the returned DataFrame is lazy — round-7 ADVICE
+    # leak finding): both self-join sides read the same persisted
+    # postings, and the LRU evicts/unpersists them as newer stages arrive
+    from ..plans.stagecache import materialize_once
+
     p = _df_capped(
-        winnowed_postings(docs, k, w).localCheckpoint(eager=True),
+        materialize_once(
+            docs.sparkSession,
+            ("winnowed_postings", docs.semanticHash(), k, w),
+            lambda: winnowed_postings(docs, k, w),
+        ),
         "fp",
         max_df,
     )

@@ -28,6 +28,11 @@ def _sorted_rows(df):
 
 
 def _run(spark, in_dir, store, ck, mfpt=1, **kw):
+    # modest bucket counts keep the toy stores at a few dirs per epoch
+    # (the 1024-bucket default is the cluster-scale pruning granularity)
+    kw.setdefault("n_fp_buckets", 32)
+    kw.setdefault("n_doc_buckets", 8)
+    kw.setdefault("compact_every_epochs", None)
     q = stream_span_dedup(
         spark, in_dir, store, ck,
         k=K, w=W, max_files_per_trigger=mfpt, **kw,
@@ -105,6 +110,124 @@ class TestStreamSpanDedup:
         _run(spark, in_dir, store, str(tmp_path / "ck"))
         assert read_span_matches(spark, store).count() == 0
         assert read_corpus_texts(spark, store).count() == 2
+
+    def test_index_scan_prunes_to_batch_buckets(self, spark, tmp_path):
+        """Per-epoch index IO must stay O(batch + matched buckets) as
+        epochs accumulate: the pruned read lists/opens ONLY the files of
+        the requested fp_bucket partitions — measured by the scan's own
+        files-read metric, compared against an unpruned full read."""
+        import os
+
+        from mehari_spark.plans.observe import collect_plan_metrics
+        from mehari_spark.streaming.spandedup_stream import (
+            _pruned_index,
+            _read_epochs,
+            _POSTING_SCHEMA,
+        )
+
+        docs = _docs(spark)
+        in_dir = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        for lo, hi in [(0, 120), (120, 260), (260, 400), (400, 10_000)]:
+            write_arrival_chunk(
+                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                in_dir,
+            )
+        _run(spark, in_dir, store, str(tmp_path / "ck"))
+
+        def files_read(df):
+            return sum(
+                n.metrics.get("number of files read", 0)
+                for n in collect_plan_metrics(df)
+                if "Scan" in n.name
+            )
+
+        full = files_read(
+            _read_epochs(spark, store, "index", _POSTING_SCHEMA)
+        )
+        two = files_read(_pruned_index(spark, store, [3, 7]))
+        # the two-bucket read must scan only those buckets' files across
+        # the epochs — a small fraction of the full store
+        n_bucket_dirs = sum(
+            1
+            for ep in os.listdir(os.path.join(store, "index"))
+            for d in os.listdir(os.path.join(store, "index", ep))
+            if d in ("fp_bucket=3", "fp_bucket=7")
+        )
+        assert two <= n_bucket_dirs * 2  # at most the matched dirs' files
+        assert two < full / 4
+        assert files_read(_pruned_index(spark, store, [])) == 0
+
+    def test_compaction_preserves_state_and_results(self, spark, tmp_path):
+        """compact_span_store merges the applied epoch dirs into one
+        bucketed dir per store with identical content; reads, a
+        subsequent wave, and a rerun (idempotence) all behave as without
+        compaction."""
+        import os
+
+        from mehari_spark.streaming.spandedup_stream import (
+            compact_span_store,
+        )
+
+        docs = _docs(spark)
+        in_dir = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        ck = str(tmp_path / "ck")
+        scope = os.path.abspath(ck)
+        for lo, hi in [(0, 150), (150, 320)]:
+            write_arrival_chunk(
+                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                in_dir,
+            )
+        _run(spark, in_dir, store, ck)
+        texts_before = _sorted_rows(read_corpus_texts(spark, store))
+        res = compact_span_store(spark, store, scope, min_epoch_dirs=2)
+        assert res["index"] >= 2 and res["texts"] >= 2
+        index_dirs = [
+            d
+            for d in os.listdir(os.path.join(store, "index"))
+            if d.startswith("epoch=")
+        ]
+        assert len(index_dirs) == 1 and index_dirs[0].startswith("epoch=c")
+        assert _sorted_rows(read_corpus_texts(spark, store)) == texts_before
+        # second call with nothing to merge is a no-op
+        assert compact_span_store(spark, store, scope, min_epoch_dirs=2) == {
+            "index": 0,
+            "texts": 0,
+        }
+        # a wave arriving AFTER compaction still pairs against the
+        # compacted index: final spans equal the batch operator
+        write_arrival_chunk(docs.where(F.col("doc_id") >= 320), in_dir)
+        _run(spark, in_dir, store, ck)
+        got = _sorted_rows(read_span_matches(spark, store))
+        want = _sorted_rows(span_matches_winnowed(docs, k=K, w=W))
+        assert got == want
+
+    def test_inline_compaction_during_stream(self, spark, tmp_path):
+        """compact_every_epochs triggers the merge inside the stream and
+        the multi-wave == batch guarantee still holds."""
+        import os
+
+        docs = _docs(spark)
+        in_dir = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        for lo, hi in [(0, 120), (120, 260), (260, 10_000)]:
+            write_arrival_chunk(
+                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                in_dir,
+            )
+        _run(
+            spark, in_dir, store, str(tmp_path / "ck"),
+            compact_every_epochs=2,
+        )
+        got = _sorted_rows(read_span_matches(spark, store))
+        want = _sorted_rows(span_matches_winnowed(docs, k=K, w=W))
+        assert got == want
+        # the store was compacted at least once along the way
+        assert any(
+            d.startswith("epoch=c")
+            for d in os.listdir(os.path.join(store, "index"))
+        )
 
     def test_max_df_cap_applies_per_epoch(self, spark, tmp_path):
         """With max_df=1 every fingerprint seen in >1 doc of a batch is

@@ -86,6 +86,32 @@ class TestSpanDedup:
         assert got[3].dup_grams == 0
         assert got[1].n_grams == 200 - 16 + 1
 
+    def test_hashed_mass_equals_exact(self, spark):
+        """The production hashed-gram gate form returns IDENTICAL rows to
+        the exact-string form on the real documents table AND on a
+        planted shared-passage corpus (xxhash64 collisions are the only
+        possible divergence — vanishingly unlikely at these sizes)."""
+        from mehari_spark.operators.spandedup import span_dup_mass_hashed
+
+        docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+        assert _sorted(span_dup_mass(docs, k=16)).equals(
+            _sorted(span_dup_mass_hashed(docs, k=16))
+        )
+        rng = random.Random(23)
+        passage = _rand_text(rng, 120)
+        planted = _docs(
+            spark,
+            [
+                (1, _rand_text(rng, 40) + passage),
+                (2, passage + _rand_text(rng, 300)),
+                (3, _rand_text(rng, 150)),
+                (4, "tiny"),
+            ],
+        )
+        assert _sorted(span_dup_mass(planted, k=16)).equals(
+            _sorted(span_dup_mass_hashed(planted, k=16))
+        )
+
     def test_short_and_null_text(self, spark):
         """Documents shorter than k (or null) emit no grams/postings and
         never crash either path."""

@@ -3207,8 +3207,10 @@ def doc_bpe_real_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation doc_bpe_tokens keeps for comparison): broadcast merges
     table + Arrow-batched encode. Oracle = the checked-in precomputed
     counts (regenerated + compared in tests) joined to the documents
-    view; valid at both oracle scales since documents.parquet is
-    identical at sf0.001 and sf0.01."""
+    view; keyed on md5(text) — NOT doc_id — because the two oracle
+    scales carry DIFFERENT 500-doc corpora (same row count only; the
+    documented testdata gotcha), so the precomputed table covers the
+    union of both scales' texts (see datagen.build_bpe_assets)."""
     # no input spread: the encode kernel is cheap at this corpus size
     # (per-executor word cache) and the balance shuffle costs more than
     # the parallelism buys — A/B 0.29 -> 0.42 s worse spread

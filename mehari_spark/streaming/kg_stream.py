@@ -60,6 +60,67 @@ PRECEDENCE_COLS = ["ts_epoch", "conv_id", "turn_idx", "obj_id"]
 DATA_COLS = ["subj_id", "pred_id", "obj_id", "ts_epoch", "conv_id", "turn_idx"]
 
 
+class EpochTracker:
+    """Applied-epoch membership in O(gaps) driver memory.
+
+    A watermark integer (every epoch <= watermark is applied) plus a
+    sparse set of post-gap epochs; ``add`` advances the watermark through
+    any extras it makes contiguous. The round-7 ADVICE finding: expanding
+    a compacted ``epoch_watermark`` row back into ``range(max+1)`` made
+    the in-closure applied set grow O(stream age) — exactly the growth
+    the log compaction was added to eliminate. ``len`` is the number of
+    applied epochs (the compaction cadence counter)."""
+
+    def __init__(self, watermark: int = -1, extras=()):
+        self.watermark = int(watermark)
+        self.extras = {int(e) for e in extras if int(e) > int(watermark)}
+        self._advance()
+
+    def _advance(self) -> None:
+        while self.watermark + 1 in self.extras:
+            self.watermark += 1
+            self.extras.discard(self.watermark)
+
+    def add(self, epoch: int) -> None:
+        e = int(epoch)
+        if e <= self.watermark:
+            return
+        self.extras.add(e)
+        self._advance()
+
+    def __contains__(self, epoch: int) -> bool:
+        e = int(epoch)
+        return e <= self.watermark or e in self.extras
+
+    def __len__(self) -> int:
+        return self.watermark + 1 + len(self.extras)
+
+
+def applied_epoch_tracker(table_dir: str, scope: str) -> EpochTracker:
+    """``applied_epochs`` as a bounded-memory :class:`EpochTracker` — a
+    compacted ``epoch_watermark`` row becomes the watermark INTEGER, never
+    a materialized prefix set (always-on stream discipline)."""
+    path = _ckpt_path(table_dir)
+    tracker = EpochTracker()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("stage") != "kg_stream" or rec.get("scope") != scope:
+                    continue
+                if rec.get("status") == "epoch_done":
+                    tracker.add(int(rec["epoch"]))
+                elif rec.get("status") == "epoch_watermark":
+                    wm = int(rec["max_epoch"])
+                    if wm > tracker.watermark:
+                        tracker.extras = {
+                            e for e in tracker.extras if e > wm
+                        }
+                        tracker.watermark = wm
+                        tracker._advance()
+    return tracker
+
+
 def applied_epochs(table_dir: str, scope: str) -> set[int]:
     """Epoch ids whose merge fully completed (``epoch_done`` audit rows).
 
@@ -69,12 +130,11 @@ def applied_epochs(table_dir: str, scope: str) -> set[int]:
     to 0) must not skip its new epochs just because an old stream once
     applied the same numbers.
 
-    Called ONCE per query lifetime (stream_kg_maintain caches the returned
-    set in its foreachBatch closure and appends to it in memory) — an
-    always-on stream must not re-parse the ever-growing commit log every
-    micro-batch. Compaction (lineage.compact_checkpoint_log) may have
-    collapsed a contiguous epoch prefix into a single ``epoch_watermark``
-    row; it expands back to the id set here."""
+    Materializes the full id set (a compacted ``epoch_watermark`` row is
+    expanded back to ``range(max+1)``) — fine for tests/tools over finite
+    streams; the always-on maintenance query itself uses
+    :func:`applied_epoch_tracker`, which keeps the watermark as an
+    integer so driver memory stays O(gaps), not O(stream age)."""
     path = _ckpt_path(table_dir)
     done: set[int] = set()
     if os.path.exists(path):
@@ -159,9 +219,10 @@ def stream_kg_maintain(
     )
 
     scope = os.path.abspath(checkpoint_dir)
-    # ONE log read per query lifetime (What's-wrong #1, round 6): the set
-    # lives in the closure; completed epochs are appended in memory.
-    applied = applied_epochs(table_dir, scope)
+    # ONE log read per query lifetime (What's-wrong #1, round 6); the
+    # tracker (watermark + sparse post-gap set) keeps the closure's
+    # memory O(gaps), not O(stream age) — round-7 ADVICE finding.
+    applied = applied_epoch_tracker(table_dir, scope)
 
     views = list(maintain_views or [])
     if maintain_degree:

@@ -430,12 +430,13 @@ class TestKgStream:
 
         calls = {"n": 0}
         real = kgs.applied_epochs
+        real_tracker = kgs.applied_epoch_tracker
 
         def counting(table_dir, scope):
             calls["n"] += 1
-            return real(table_dir, scope)
+            return real_tracker(table_dir, scope)
 
-        monkeypatch.setattr(kgs, "applied_epochs", counting)
+        monkeypatch.setattr(kgs, "applied_epoch_tracker", counting)
         turns = _turns(spark)
         in_dir = str(tmp_path / "in")
         table = str(tmp_path / "kg")

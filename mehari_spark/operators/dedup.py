@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from ..kernels.minhash import (
     band_keys_matrix,
     hash_tokens,
-    minhash_signature,
     perm_params,
 )
 from ..kernels.simhash import simhash64

@@ -181,7 +181,18 @@ def image_near_dup(
     media: DataFrame, max_hamming: int = 7, bands: int = 8, algo: str = "dhash"
 ) -> DataFrame:
     """media -> near-duplicate image pairs: decode + perceptual hash +
-    banded Hamming blocking, end to end."""
-    return phash_near_dup(
-        image_phash(media, algo=algo), max_hamming=max_hamming, bands=bands
+    banded Hamming blocking, end to end.
+
+    The hash table feeds BOTH sides of the band self-join, so it is
+    materialized once through the bounded stage cache — unmaterialized
+    lineage re-ran the decode+hash kernel (and any synthetic payload
+    generation under it) per side, measured 2x the whole query at sf0.1
+    (round-8; the round-5 LSH-signature discipline applied here)."""
+    from ..plans.stagecache import materialize_once
+
+    hashes = materialize_once(
+        media.sparkSession,
+        ("image_phash", media.semanticHash(), algo),
+        lambda: image_phash(media, algo=algo),
     )
+    return phash_near_dup(hashes, max_hamming=max_hamming, bands=bands)

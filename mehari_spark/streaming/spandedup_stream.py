@@ -11,15 +11,19 @@ continuous KG maintenance (streaming/kg_stream.py): the streaming query
 itself is STATELESS — state lives in three on-disk tables under
 ``store_dir`` plus the commit log —
 
-- ``index/epoch=N/fp_bucket=B/``  fingerprint postings (doc_id, pos, fp)
-  of every document seen, hive-partitioned by arrival epoch AND by
-  ``fp_bucket = pmod(fp, n_fp_buckets)`` (the inverted index; seen-KEYS,
-  never text);
-- ``texts/epoch=N/doc_bucket=B/``  the corpus itself (doc_id, text),
-  hive-partitioned by ``doc_bucket = pmod(doc_id, n_doc_buckets)`` —
-  candidate verification needs real characters, and the corpus store is
-  a TABLE, not stream state (the seen-keys-never-payloads rule
-  constrains the state store, not the sink);
+- ``index/``  fingerprint postings (doc_id, pos, fp, fp_bucket) of every
+  document seen (the inverted index; seen-KEYS, never text) in an
+  LSM-shaped layout: each epoch lands as ONE flat delta dir
+  ``epoch=N/`` with ``fp_bucket = pmod(fp, n_fp_buckets)`` stored as a
+  data column, and compaction periodically folds applied deltas into a
+  consolidated base dir ``epoch=c<lo>-<hi>/fp_bucket=B/``
+  hive-partitioned by bucket;
+- ``texts/``  the corpus itself (doc_id, text, doc_bucket) in the same
+  delta + bucketed-base layout (``doc_bucket = pmod(doc_id,
+  n_doc_buckets)``) — candidate verification needs real characters, and
+  the corpus store is a TABLE, not stream state (the
+  seen-keys-never-payloads rule constrains the state store, not the
+  sink);
 - ``spans/epoch=N/``  confirmed spans discovered at epoch N.
 
 Per epoch: new postings equi-join the accumulated index (cross-epoch
@@ -36,22 +40,26 @@ round-7 full-scan weakness is closed by three mechanisms:
 1. The index read is PRUNED to the batch's fingerprint buckets: the
    batch postings' distinct ``fp_bucket`` values (at most
    ``n_fp_buckets`` ints — bounded driver metadata, the plans/merge.py
-   bucket-list discipline) become a literal partition filter, so Spark's
-   static partition pruning never lists or opens index files of other
-   buckets. With the default 1024 buckets a small batch prunes most of
-   the accumulated index. (A literal IN filter prunes at PLAN time —
-   strictly earlier than the broadcast-semi-join/DPP variant, which
-   prunes at runtime.)
-2. The texts read is PRUNED to the candidate documents' ``doc_bucket``
-   partitions (collected from the materialized candidate seeds, again
-   bounded metadata) — verification touches only buckets that hold a
-   candidate doc, never the whole corpus store.
-3. ``compact_span_store`` periodically merges fully-applied epoch dirs
-   into ONE consolidated bucketed dir per store (the plans/compact.py
-   discipline: stage -> fingerprint-verify -> atomic swap -> log), so
-   partition discovery and per-bucket file counts stay bounded as
-   epochs accumulate; the stream runs it inline every
-   ``compact_every_epochs`` applied epochs.
+   bucket-list discipline) select exactly the matching ``fp_bucket=B``
+   subdirs of the compacted base BY PATH (nothing else is listed or
+   opened) and filter the small recent deltas on the data column. With
+   the default 1024 buckets a small batch prunes most of the
+   accumulated index.
+2. The texts read is PRUNED the same way to the candidate documents'
+   ``doc_bucket`` groups (collected from the materialized candidate
+   seeds, again bounded metadata) — verification touches only buckets
+   that hold a candidate doc, never the whole corpus store.
+3. ``compact_span_store`` periodically merges fully-applied epoch
+   deltas into ONE consolidated hive-bucketed dir per store (the
+   plans/compact.py discipline: stage -> fingerprint-verify -> atomic
+   swap -> log), bounding both the unpruned-delta fraction and the
+   file/dir counts as epochs accumulate; the stream runs it inline
+   every ``compact_every_epochs`` applied epochs. Deltas are
+   deliberately FLAT — hive-partitioning each small batch into hundreds
+   of bucket dirs measured ~6x slower per epoch than the unpruned scan
+   it replaced (metadata beats bytes at delta size; bench_stream_span
+   records the measurement), which is why bucketing happens only at
+   compaction, LSM-style.
 
 EXACTNESS: every document pair meets exactly once — at the later doc's
 arrival epoch (earlier doc's postings are already in the index), or in
@@ -88,6 +96,19 @@ _SPAN_SCHEMA = "doc_a long, doc_b long, start_a long, start_b long, span_len lon
 _TEXT_SCHEMA = "doc_id long, text string"
 
 
+def _store_bytes(store_dir: str, sub: str) -> int:
+    """Total bytes under a store subtree — driver-side metadata for the
+    prune_min_bytes crossover; file counts stay bounded by compaction."""
+    total = 0
+    for root, _dirs, files in os.walk(os.path.join(store_dir, sub)):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _epoch_dirs(store_dir: str, sub: str) -> list[str]:
     base = os.path.join(store_dir, sub)
     if not os.path.isdir(base):
@@ -102,42 +123,120 @@ def _epoch_dirs(store_dir: str, sub: str) -> list[str]:
 def _read_epochs(
     spark: SparkSession, store_dir: str, sub: str, schema: str
 ) -> DataFrame:
-    base = os.path.join(store_dir, sub)
-    if not _epoch_dirs(store_dir, sub):
-        return spark.createDataFrame([], schema)
-    # one basePath read of the whole subtree: epoch= (and the bucket
-    # columns) are hive-style partition dirs, so per-leaf-dir reads would
-    # fight partition discovery over multiple roots
+    """Plain union read of a store subtree (spans; or index/texts with no
+    bucket pruning). Handles the MIXED layout: recent per-epoch delta
+    dirs are flat parquet with the bucket column as DATA, compacted dirs
+    are hive-partitioned by it — they must be read separately (one
+    basePath read over both depths trips partition-discovery conflicts)
+    and unioned."""
+    return _read_dirs(
+        spark, store_dir, sub, _epoch_dirs(store_dir, sub), schema, None
+    )
+
+
+def _bucket_prefix(sub: str) -> str | None:
+    return {"index": "fp_bucket", "texts": "doc_bucket"}.get(sub)
+
+
+def _read_dirs(
+    spark: SparkSession,
+    store_dir: str,
+    sub: str,
+    dirs: list[str],
+    schema: str,
+    buckets: list[int] | None,
+) -> DataFrame:
+    """Union read over an explicit epoch-dir list of the LSM-shaped store.
+
+    Layout: per-epoch DELTA dirs are flat parquet (bucket column stored
+    as data — a small batch must not fan out into hundreds of bucket
+    dirs, that metadata explosion measured 6x slower per epoch than the
+    scan it saved); compacted dirs (``epoch=c<lo>-<hi>``) are
+    hive-partitioned by the bucket column. With ``buckets`` set, the
+    compacted dirs are pruned by PATH (only matching ``<part>=B``
+    subdirs are handed to the reader — nothing else is listed or opened)
+    and the small deltas are filtered on the data column; per-epoch IO
+    is O(deltas + matched buckets), not O(corpus)."""
     cols = [c.strip().split(" ")[0] for c in schema.split(",")]
-    return spark.read.option("basePath", base).parquet(base).select(*cols)
+    base = os.path.join(store_dir, sub)
+    part_col = _bucket_prefix(sub)
+    bucketed: list[tuple[str, list[str]]] = []
+    plain: list[str] = []
+    for d in dirs:
+        subs = (
+            [s for s in os.listdir(d) if s.startswith(part_col + "=")]
+            if part_col
+            else []
+        )
+        if subs:
+            bucketed.append((d, subs))
+        else:
+            plain.append(d)
+    parts: list[DataFrame] = []
+    if bucketed:
+        if buckets is None:
+            paths = [
+                os.path.join(d, s) for d, subs in bucketed for s in subs
+            ]
+        else:
+            want = {f"{part_col}={int(b)}" for b in buckets}
+            paths = [
+                os.path.join(d, s)
+                for d, subs in bucketed
+                for s in subs
+                if s in want
+            ]
+        if paths:
+            parts.append(
+                spark.read.option("basePath", base).parquet(*paths).select(*cols)
+            )
+    if plain:
+        df = spark.read.parquet(*plain)
+        if buckets is not None and part_col is not None:
+            # the bucket lives as a data column in delta files; filter
+            # BEFORE the projection (schema may not carry it, e.g. texts)
+            df = df.where(F.col(part_col).isin([int(b) for b in buckets]))
+        parts.append(df.select(*cols))
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _pruned_index(
     spark: SparkSession, store_dir: str, buckets: list[int]
 ) -> DataFrame:
-    """The accumulated index restricted to ``buckets`` — a LITERAL
-    partition filter, so only matching ``fp_bucket=`` dirs are listed and
-    their files opened (static partition pruning; test-gated via the
-    scan's files-read metric)."""
-    idx = _read_epochs(spark, store_dir, "index", _POSTING_SCHEMA)
+    """The accumulated index restricted to ``buckets``: compacted base
+    dirs pruned by path, recent deltas filtered on the data column
+    (test-gated via the scan's files-read metric)."""
     if not buckets:
-        return idx.where(F.lit(False))
-    return idx.where(F.col("fp_bucket").isin([int(b) for b in buckets]))
+        return spark.createDataFrame([], _POSTING_SCHEMA)
+    return _read_dirs(
+        spark,
+        store_dir,
+        "index",
+        _epoch_dirs(store_dir, "index"),
+        _POSTING_SCHEMA,
+        buckets,
+    )
 
 
 def _pruned_texts(
     spark: SparkSession, store_dir: str, doc_buckets: list[int]
 ) -> DataFrame:
     """The corpus store restricted to the candidate docs' ``doc_bucket``
-    partitions (same literal-filter pruning as the index read)."""
-    base = os.path.join(store_dir, "texts")
-    if not _epoch_dirs(store_dir, "texts") or not doc_buckets:
+    groups (same path-pruned base + filtered-delta read as the index)."""
+    if not doc_buckets:
         return spark.createDataFrame([], _TEXT_SCHEMA)
-    return (
-        spark.read.option("basePath", base)
-        .parquet(base)
-        .where(F.col("doc_bucket").isin([int(b) for b in doc_buckets]))
-        .select("doc_id", "text")
+    return _read_dirs(
+        spark,
+        store_dir,
+        "texts",
+        _epoch_dirs(store_dir, "texts"),
+        _TEXT_SCHEMA,
+        doc_buckets,
     )
 
 
@@ -250,15 +349,14 @@ def compact_span_store(
             out[sub] = 0
             continue
         base = os.path.join(store_dir, sub)
-        schema = _POSTING_SCHEMA if sub == "index" else _TEXT_SCHEMA
-        cols = [c.strip().split(" ")[0] for c in schema.split(",")]
-        if sub == "texts":
-            cols = cols + ["doc_bucket"]
-        live = (
-            spark.read.option("basePath", base)
-            .parquet(*eligible)
-            .select(*cols)
+        schema = (
+            _POSTING_SCHEMA
+            if sub == "index"
+            else _TEXT_SCHEMA + ", doc_bucket int"
         )
+        cols = [c.strip().split(" ")[0] for c in schema.split(",")]
+        # mixed-layout read (flat deltas + previously-compacted dirs)
+        live = _read_dirs(spark, store_dir, sub, eligible, schema, None)
         n_live, fp_live, fps_live = _fingerprint(live)
         staged = os.path.join(base, "_compactstage")
         shutil.rmtree(staged, ignore_errors=True)
@@ -313,13 +411,27 @@ def stream_span_dedup(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     compact_every_epochs: int | None = 32,
+    prune_min_bytes: int = 64 << 20,
 ) -> StreamingQuery:
     """Start the ingest-side span-dedup stream; returns the StreamingQuery.
 
     ``input_dir`` is a file-source directory of document parquet chunks
     (streaming/replay.write_arrival_chunk shape). ``compact_every_epochs``
     runs ``compact_span_store`` inline whenever the index holds at least
-    that many epoch dirs (None disables)."""
+    that many epoch dirs (None disables).
+
+    ``prune_min_bytes``: bucket-pruned reads engage once a store exceeds
+    this size; below it the epoch reads the store in full. Pruning never
+    changes results — this is an IO-cost crossover, MEASURED locally
+    (bench_stream_span.py, same-window 4-doc waves): at a ~30 MB store
+    full page-cached scans beat the ~100 pruned per-file opens, at a
+    ~150 MB store forced pruning wins 5.8 -> 3.3 s/epoch (1.75x), and
+    past that the byte savings (matched buckets / n_fp_buckets of the
+    store, ~1/10th for tiny batches at 1024 buckets) grow with the
+    corpus while the pruned cost stays ~O(batch + matched buckets). The
+    64 MB default sits between the two measured points; same
+    scale-adaptive-knob discipline as spread="auto". 0 forces pruning
+    (exactness under forced pruning is test-gated end to end)."""
     min_len = k + w - 1
     docs = (
         spark.readStream.schema(DOCS_DDL)
@@ -351,12 +463,17 @@ def stream_span_dedup(
 
         # distinct fp_buckets of THIS batch: bounded driver metadata
         # (<= n_fp_buckets ints) that prunes the index read to matching
-        # partition dirs — per-epoch index IO is O(matched buckets), not
-        # O(corpus)
-        batch_buckets = [
-            r[0] for r in postings_new.select("fp_bucket").distinct().collect()
-        ]
-        index = _pruned_index(spark, store_dir, batch_buckets)
+        # bucket dirs — past the prune_min_bytes crossover, per-epoch
+        # index IO is O(deltas + matched buckets), not O(corpus)
+        prune_index = _store_bytes(store_dir, "index") >= prune_min_bytes
+        if prune_index:
+            batch_buckets = [
+                r[0]
+                for r in postings_new.select("fp_bucket").distinct().collect()
+            ]
+            index = _pruned_index(spark, store_dir, batch_buckets)
+        else:
+            index = _read_epochs(spark, store_dir, "index", _POSTING_SCHEMA)
         # cross-epoch candidates: stored doc x new doc on the fingerprint,
         # pair normalized to doc_a < doc_b (the batch operator's contract;
         # arrival order is an implementation detail). fp equality implies
@@ -387,27 +504,31 @@ def stream_span_dedup(
             F.col("a.pos").alias("pos_a"),
             F.col("b.pos").alias("pos_b"),
         )
-        # materialize the seeds once: they feed the doc-bucket collection
-        # AND the verify join
-        cand = cross.unionByName(within).localCheckpoint(eager=True)
-        cand_buckets = [
-            r[0]
-            for r in cand.select(
-                F.explode(
-                    F.array(
-                        F.pmod("doc_a", F.lit(n_doc_buckets)),
-                        F.pmod("doc_b", F.lit(n_doc_buckets)),
-                    )
-                ).alias("b")
+        if _store_bytes(store_dir, "texts") >= prune_min_bytes:
+            # materialize the seeds once: they feed the doc-bucket
+            # collection AND the verify join; verification then reads
+            # ONLY the candidate docs' buckets of the corpus store
+            cand = cross.unionByName(within).localCheckpoint(eager=True)
+            cand_buckets = [
+                r[0]
+                for r in cand.select(
+                    F.explode(
+                        F.array(
+                            F.pmod("doc_a", F.lit(n_doc_buckets)),
+                            F.pmod("doc_b", F.lit(n_doc_buckets)),
+                        )
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            stored_texts = _pruned_texts(spark, store_dir, cand_buckets)
+        else:
+            cand = cross.unionByName(within)
+            stored_texts = _read_epochs(
+                spark, store_dir, "texts", _TEXT_SCHEMA
             )
-            .distinct()
-            .collect()
-        ]
-        # candidate verification reads ONLY the candidate docs' buckets of
-        # the corpus store (plus this batch's texts, not yet stored)
-        texts_all = _pruned_texts(spark, store_dir, cand_buckets).unionByName(
-            batch_texts
-        )
+        texts_all = stored_texts.unionByName(batch_texts)
         cand_t = cand.join(
             texts_all.select(
                 F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
@@ -428,6 +549,12 @@ def stream_span_dedup(
         )
         # per-epoch dirs: mode=overwrite makes a replayed epoch rewrite the
         # same content — idempotent without a merge
+        # LSM delta layout: each epoch writes ONE flat dir carrying its
+        # bucket column as data (a small batch hive-partitioned into
+        # hundreds of bucket dirs measured 6x slower per epoch than the
+        # unpruned scan it was meant to save — metadata, not bytes, was
+        # the cost); compaction periodically folds deltas into the
+        # hive-bucketed base dirs that path-pruned reads then exploit
         ep = f"epoch={int(epoch_id)}"
         spans.write.mode("overwrite").parquet(
             os.path.join(store_dir, "spans", ep)
@@ -437,16 +564,11 @@ def stream_span_dedup(
                 "doc_bucket",
                 F.pmod("doc_id", F.lit(n_doc_buckets)).cast("int"),
             )
-            .repartition("doc_bucket")
             .write.mode("overwrite")
-            .partitionBy("doc_bucket")
             .parquet(os.path.join(store_dir, "texts", ep))
         )
-        (
-            postings_new.repartition("fp_bucket")
-            .write.mode("overwrite")
-            .partitionBy("fp_bucket")
-            .parquet(os.path.join(store_dir, "index", ep))
+        postings_new.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "index", ep)
         )
         append_checkpoint(
             store_dir,

@@ -29,10 +29,14 @@ def _sorted_rows(df):
 
 def _run(spark, in_dir, store, ck, mfpt=1, **kw):
     # modest bucket counts keep the toy stores at a few dirs per epoch
-    # (the 1024-bucket default is the cluster-scale pruning granularity)
+    # (the 1024-bucket default is the cluster-scale pruning granularity);
+    # prune_min_bytes=0 forces the bucket-pruned read path so the
+    # exactness suites exercise it end to end (the adaptive default would
+    # full-scan these tiny stores)
     kw.setdefault("n_fp_buckets", 32)
     kw.setdefault("n_doc_buckets", 8)
     kw.setdefault("compact_every_epochs", None)
+    kw.setdefault("prune_min_bytes", 0)
     q = stream_span_dedup(
         spark, in_dir, store, ck,
         k=K, w=W, max_files_per_trigger=mfpt, **kw,
@@ -112,9 +116,10 @@ class TestStreamSpanDedup:
         assert read_corpus_texts(spark, store).count() == 2
 
     def test_index_scan_prunes_to_batch_buckets(self, spark, tmp_path):
-        """Per-epoch index IO must stay O(batch + matched buckets) as
-        epochs accumulate: the pruned read lists/opens ONLY the files of
-        the requested fp_bucket partitions — measured by the scan's own
+        """Per-epoch index IO must stay O(deltas + matched buckets) as
+        epochs accumulate: after compaction the pruned read opens ONLY
+        the requested fp_bucket subdirs of the bucketed base (by path)
+        plus the small flat deltas — measured by the scan's own
         files-read metric, compared against an unpruned full read."""
         import os
 
@@ -122,18 +127,23 @@ class TestStreamSpanDedup:
         from mehari_spark.streaming.spandedup_stream import (
             _pruned_index,
             _read_epochs,
+            compact_span_store,
             _POSTING_SCHEMA,
         )
 
         docs = _docs(spark)
         in_dir = str(tmp_path / "in")
         store = str(tmp_path / "store")
+        ck = str(tmp_path / "ck")
+        scope = os.path.abspath(ck)
         for lo, hi in [(0, 120), (120, 260), (260, 400), (400, 10_000)]:
             write_arrival_chunk(
                 docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
                 in_dir,
             )
-        _run(spark, in_dir, store, str(tmp_path / "ck"))
+        _run(spark, in_dir, store, ck)
+        res = compact_span_store(spark, store, scope, min_epoch_dirs=2)
+        assert res["index"] >= 4
 
         def files_read(df):
             return sum(
@@ -142,19 +152,36 @@ class TestStreamSpanDedup:
                 if "Scan" in n.name
             )
 
+        idx_base = os.path.join(store, "index")
+
+        def files_under(*names):
+            total = 0
+            for ep in os.listdir(idx_base):
+                d = os.path.join(idx_base, ep)
+                if not os.path.isdir(d):
+                    continue
+                subs = [s for s in os.listdir(d) if s.startswith("fp_bucket=")]
+                if subs:  # bucketed base: count only the requested buckets
+                    for s in subs:
+                        if s in names:
+                            total += len(
+                                [
+                                    f
+                                    for f in os.listdir(os.path.join(d, s))
+                                    if f.endswith(".parquet")
+                                ]
+                            )
+                else:  # flat delta: read in full
+                    total += len(
+                        [f for f in os.listdir(d) if f.endswith(".parquet")]
+                    )
+            return total
+
         full = files_read(
             _read_epochs(spark, store, "index", _POSTING_SCHEMA)
         )
         two = files_read(_pruned_index(spark, store, [3, 7]))
-        # the two-bucket read must scan only those buckets' files across
-        # the epochs — a small fraction of the full store
-        n_bucket_dirs = sum(
-            1
-            for ep in os.listdir(os.path.join(store, "index"))
-            for d in os.listdir(os.path.join(store, "index", ep))
-            if d in ("fp_bucket=3", "fp_bucket=7")
-        )
-        assert two <= n_bucket_dirs * 2  # at most the matched dirs' files
+        assert two <= files_under("fp_bucket=3", "fp_bucket=7")
         assert two < full / 4
         assert files_read(_pruned_index(spark, store, [])) == 0
 
@@ -228,6 +255,27 @@ class TestStreamSpanDedup:
             d.startswith("epoch=c")
             for d in os.listdir(os.path.join(store, "index"))
         )
+
+    def test_adaptive_fullscan_mode_equals_batch(self, spark, tmp_path):
+        """Below the prune_min_bytes crossover the epoch reads the store
+        in full — results must be identical to the pruned mode and the
+        batch operator (pruning is an IO decision, never a semantic
+        one)."""
+        docs = _docs(spark)
+        in_dir = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        for lo, hi in [(0, 200), (200, 10_000)]:
+            write_arrival_chunk(
+                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                in_dir,
+            )
+        _run(
+            spark, in_dir, store, str(tmp_path / "ck"),
+            prune_min_bytes=1 << 40,
+        )
+        got = _sorted_rows(read_span_matches(spark, store))
+        want = _sorted_rows(span_matches_winnowed(docs, k=K, w=W))
+        assert got == want
 
     def test_max_df_cap_applies_per_epoch(self, spark, tmp_path):
         """With max_df=1 every fingerprint seen in >1 doc of a batch is

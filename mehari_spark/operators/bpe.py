@@ -41,8 +41,22 @@ _TOK_CACHE_MAX = 4
 
 
 def load_bpe_assets() -> dict:
-    with open(_ASSETS_PATH) as f:
-        return json.load(f)
+    """Read the checked-in trained-BPE assets.
+
+    Zip-safe: under ``spark-submit --py-files mehari_spark.zip`` the
+    package lives INSIDE the archive, so the plain filesystem path does
+    not exist (NotADirectoryError) — fall back to importlib.resources,
+    which reads through the zip importer (found by the round-8
+    spark-submit smoke re-run of run_dataprep_job; the direct open stays
+    first because it also works for a repo checkout not on sys.path)."""
+    try:
+        with open(_ASSETS_PATH) as f:
+            return json.load(f)
+    except (NotADirectoryError, FileNotFoundError):
+        from importlib import resources
+
+        ref = resources.files("mehari_spark") / "resources" / "bpe_assets.json"
+        return json.loads(ref.read_text())
 
 
 def _merges_fingerprint(merges: list) -> str:
